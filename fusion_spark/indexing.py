@@ -1,0 +1,217 @@
+"""Inverted-index build — postings, term stats, doc stats — as Spark aggregations.
+
+Reference semantics (all in /root/reference/src/retrievers/bm25.py):
+  * postings  tf[term][doc]   — nested dict count            (bm25.py:58-65)
+  * df        docs containing term (set-per-doc update)      (bm25.py:68-75)
+  * idf       TFIDF/Atire: log10((N+1)/(df+1)); BM25:
+              log10((N-df+0.5)/(df+0.5)) — log10, may be
+              negative, no floor                             (bm25.py:85-87,145-147,171-173)
+  * doc_len   whitespace token count per doc                 (bm25.py:141-143)
+  * avgdl     exact mean of doc lengths                      (bm25.py:137-138)
+
+Spark design (scale notes):
+  * `explode(tokens) → groupBy(term, doc_id).count()` — Catalyst inserts a
+    partial (map-side) hash aggregate, so the shuffle carries (term, doc_id,
+    tf) pairs, not token occurrences. Hot terms (`def`, `{`, …) are NOT a
+    skew problem here because doc_id is part of the grouping key — the
+    shuffle key (term, doc_id) is near-uniform even when term is Zipfian.
+  * df must be EXACT (scores depend on it): `groupBy(term).count()` over the
+    already-distinct (term, doc_id) postings. Again partial aggregation
+    means each map task emits one (term, partial_count) row per term —
+    the hot-term reduce side receives ≤ #map-partitions rows per term.
+    No approx_count_distinct, no salting needed for counts.
+  * doc length is denormalized INTO postings (`dl` per row) so query-time
+    scoring joins only (query_terms ⋈ postings): one fewer shuffle join
+    against a 10^12-row docstats table at scale; storage cost is one int32
+    per posting.
+  * N and avgdl are two scalars collected once and broadcast as literals.
+  * Resumable build: documents are bucketed by `pmod(doc_id, n_buckets)`;
+    each bucket's postings are written to its own parquet subdirectory with
+    a manifest row appended on success. A re-run skips completed buckets
+    (idempotent, byte-identical results since tf/dl are per-doc facts and
+    bucket membership is deterministic). Global stats (df/idf/N/avgdl) are
+    derived from the union of bucket postings at finalize time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fusion_spark.tokenize import tokenize
+
+VARIANTS = ("bm25", "tfidf", "atire")
+
+
+def idf_expr(variant: str, n_docs: int, df_col="df"):
+    """IDF per reference variant — log10 in all cases (bm25.py:87,147,173)."""
+    df_c = F.col(df_col)
+    if variant == "bm25":
+        return F.log10((F.lit(float(n_docs)) - df_c + F.lit(0.5)) / (df_c + F.lit(0.5)))
+    elif variant in ("tfidf", "atire"):
+        return F.log10((F.lit(float(n_docs + 1))) / (df_c + F.lit(1.0)))
+    raise ValueError(f"unknown variant {variant}")
+
+
+@dataclass
+class BM25Index:
+    """A queryable posting store: DataFrames + two broadcastable scalars."""
+
+    postings: DataFrame  # (term, doc_id, tf, dl)
+    termstats: DataFrame  # (term, df, idf)
+    docstats: DataFrame  # (doc_id, dl)
+    n_docs: int
+    avgdl: float
+    variant: str = "bm25"
+
+    def persist(self) -> "BM25Index":
+        self.postings.persist()
+        self.termstats.persist()
+        self.docstats.persist()
+        return self
+
+    def unpersist(self) -> "BM25Index":
+        for df in (self.postings, self.termstats, self.docstats):
+            df.unpersist()
+        return self
+
+
+def _postings_from_tokens(toks: DataFrame, doc_id_col: str) -> DataFrame:
+    """(doc_id, tokens, dl) → (term, doc_id, tf, dl). Partial-agg friendly."""
+    return (
+        toks.select(F.col(doc_id_col).alias("doc_id"), "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    variant: str = "bm25",
+) -> BM25Index:
+    """One-shot in-memory index build (for tests / small corpora; the
+    resumable path below is the production build)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode).withColumn(
+        "dl", F.size("tokens")
+    )
+    postings = _postings_from_tokens(toks, doc_id_col)
+    docstats = toks.select(F.col(doc_id_col).alias("doc_id"), "dl")
+    return _finalize(postings, docstats, variant)
+
+
+def _finalize(postings: DataFrame, docstats: DataFrame, variant: str) -> BM25Index:
+    postings = postings.persist()
+    row = docstats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    termstats = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", idf_expr(variant, n_docs))
+    )
+    return BM25Index(postings, termstats, docstats, n_docs, avgdl, variant)
+
+
+# ---------------------------------------------------------------------------
+# Resumable, checkpointed build (north rule: per-partition checkpoints with
+# lineage + metrics tables).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_manifest.jsonl")
+
+
+def _read_manifest(index_dir: str) -> dict[int, dict]:
+    done = {}
+    p = _manifest_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    if rec.get("status") == "ok":
+                        done[rec["bucket"]] = rec
+    return done
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 8,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    variant: str = "bm25",
+) -> BM25Index:
+    """Checkpointed build: bucket docs by pmod(doc_id, n_buckets), write each
+    bucket's postings independently, append a lineage row per bucket, skip
+    completed buckets on restart. Produces a byte-identical index regardless
+    of where a previous run died (tf/dl are per-doc facts; df/idf are
+    recomputed from the full postings union at finalize)."""
+    os.makedirs(index_dir, exist_ok=True)
+    done = _read_manifest(index_dir)
+    docs = docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.perf_counter()
+        bucket_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_buckets)) == b)
+        toks = tokenize(bucket_docs, text_col="text", mode=mode).withColumn("dl", F.size("tokens"))
+        postings_b = _postings_from_tokens(toks, "doc_id")
+        out = os.path.join(index_dir, f"postings_bucket={b}")
+        postings_b.write.mode("overwrite").parquet(out)
+        n_postings = spark.read.parquet(out).count()
+        n_docs_b = bucket_docs.count()
+        with open(_manifest_path(index_dir), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "bucket": b,
+                        "status": "ok",
+                        "n_docs": n_docs_b,
+                        "n_postings": n_postings,
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "variant": variant,
+                        "mode": mode,
+                    }
+                )
+                + "\n"
+            )
+
+    return load_index(spark, index_dir, variant=variant, finalize=True)
+
+
+def load_index(
+    spark: SparkSession, index_dir: str, variant: str = "bm25", finalize: bool = True
+) -> BM25Index:
+    paths = [
+        os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith("postings_bucket=")
+    ]
+    postings = spark.read.parquet(*paths)
+    docstats = postings.select("doc_id", "dl").distinct()
+    return _finalize(postings, docstats, variant)
+
+
+def lineage(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The per-bucket lineage/metrics table (north rule artifact)."""
+    recs = list(_read_manifest(index_dir).values())
+    return spark.createDataFrame(
+        recs or [],
+        schema="bucket int, status string, n_docs long, n_postings long, wall_sec double, variant string, mode string",
+    )
