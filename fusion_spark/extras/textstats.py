@@ -1,0 +1,145 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. All JVM-expression based except the fingerprint
+(Arrow pandas UDF).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from fusion_spark.tokenize import tokenize
+
+# "language" keyword sets for the heuristic voter. On real corpora these are
+# per-language stopword lists; the mechanism (set-intersection voting with a
+# deterministic alphabetical tie-break) is the operator under test.
+LANG_KEYWORDS = {
+    "dataflow": ["scan", "filter", "join", "agg", "group", "window"],
+    "storage": ["table", "column", "row", "part", "key", "hash"],
+    "streaming": ["stream", "batch", "window", "data", "spark", "fast"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, single non-space symbols.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_SMALL = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars, avg_token_len)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    return toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(
+            F.when(
+                F.size("tokens") > 0,
+                F.aggregate(
+                    F.transform("tokens", lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality: length band + stopword presence − punct/digit noise.
+    (doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio, quality)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    n_tok = F.size("tokens")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_SMALL])
+    n_sw = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    stopword_ratio = F.when(n_tok > 0, n_sw / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = length_ok * (F.lit(1.0) - punct_ratio) * (F.lit(1.0) - digit_ratio) * (
+        F.lit(0.5) + F.lit(0.5) * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+    return toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id") -> DataFrame:
+    """Keyword-set voting language-ID: distinct-token overlap with each
+    keyword set, argmax with alphabetical tie-break. (doc_id, pred_lang,
+    best_overlap)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    scored = toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        *[
+            F.size(
+                F.array_intersect(
+                    F.array_distinct("tokens"), F.array(*[F.lit(w) for w in words])
+                )
+            ).alias(f"ov_{lang}")
+            for lang, words in sorted(LANG_KEYWORDS.items())
+        ],
+    )
+    # argmax via a sorted struct array: (-overlap, lang) ascending → head
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"ov_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_KEYWORDS)
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    return scored.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).cast("long").alias("best_overlap"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    kgram: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
+    token k-grams, slide a window of `window` hashes, keep each window's min
+    (rightmost on ties) — the classic near-dup/plagiarism sketch. Arrow UDF;
+    output (doc_id, fingerprints sorted array<long>)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(tok: pd.Series) -> pd.Series:
+        def fp(ts) -> list[int]:
+            ts = list(ts)
+            if len(ts) < kgram:
+                return []
+            hashes = [
+                int(hashlib.md5(" ".join(ts[i : i + kgram]).encode()).hexdigest()[:15], 16)
+                for i in range(len(ts) - kgram + 1)
+            ]
+            sel = set()
+            for i in range(max(len(hashes) - window + 1, 1)):
+                win = hashes[i : i + window]
+                m = min(win)
+                sel.add(m)
+            return sorted(sel)
+
+        return tok.map(fp)
+
+    return toks.select(F.col(doc_id_col).alias("doc_id"), winnow("tokens").alias("fingerprints"))

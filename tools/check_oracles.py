@@ -1,0 +1,91 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
+row-count + sorted-column value multisets.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from fusion_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def to_rows(cols, data):
+    # sort columns by name, rows by value tuple — order-insensitive compare
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in data)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            sdata = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL-spark] {name}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdata)} rows, cols={scols}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            ddata = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL-duck] {name}: {str(e)[:300]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"cols {sorted(scols)} vs {sorted(dcols)}"))
+            print(f"[FAIL-cols] {name}: {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        a, b = to_rows(scols, sdata), to_rows(dcols, ddata)
+        if len(a) != len(b):
+            failures.append((name, f"rowcount {len(a)} vs {len(b)}"))
+            print(f"[FAIL-rows] {name}: {len(a)} vs {len(b)}")
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            failures.append((name, f"values differ, first: {diff}"))
+            print(f"[FAIL-vals] {name}: first diffs {diff}")
+        else:
+            print(f"[OK] {name}: {len(a)} rows")
+    print(f"\n{len(failures)} failures" + (f": {[f[0] for f in failures]}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
