@@ -318,6 +318,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf_dir):
         return textstats.lang_id(_docs(spark, sf_dir))
 
+    def set_prf(spark, sf_dir):
+        from fusion_spark.metrics import set_precision_recall_f1
+
+        preds = _ranked(spark, sf_dir, "bm25", k=10, k1=2.5, b=0.2)
+        out = set_precision_recall_f1(preds.select("qid", "doc_id"), _qrels(spark, sf_dir))
+        return out.select(
+            "qid",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
+        )
+
+    def title_concat(spark, sf_dir):
+        from fusion_spark.corpus import title_concat as tc
+
+        docs = _docs(spark, sf_dir)
+        return tc(docs, text_col="text", title_col="source", out_col="combined").select(
+            "doc_id", "combined"
+        )
+
     # ---- rows-only (non-SQL-expressible; driver records weaker check) ----
     def simhash_dedup(spark, sf_dir):
         return dedup.simhash(_docs(spark, sf_dir))
@@ -372,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": token_stats,
         "quality_score": quality_score,
         "lang_id": lang_id,
+        "set_prf": set_prf,
+        "title_concat": title_concat,
         "simhash_dedup": simhash_dedup,
         "doc_fingerprint": doc_fingerprint,
         "lsh_cosine_topk": lsh_cosine_topk,
@@ -527,6 +549,38 @@ FROM base b LEFT JOIN ap ON b.qid = ap.qid
         "exact_dedup": """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
 FROM documents GROUP BY md5(text)
+""",
+        "set_prf": f"""
+WITH {_SQL_TOKS}, {_sql_scored("bm25", 2.5, 0.2)},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+preds AS (SELECT DISTINCT qid, doc_id FROM ranked WHERE rank <= 10),
+{_SQL_QRELS.strip()},
+ng AS (SELECT qid, count(*) AS n_gt FROM qrels GROUP BY qid),
+np AS (SELECT qid, count(*) AS n_pred FROM preds GROUP BY qid),
+tp AS (
+  SELECT p.qid AS qid, count(*) AS tp FROM preds p
+  JOIN qrels r ON p.qid = r.qid AND p.doc_id = r.doc_id GROUP BY p.qid
+),
+m AS (
+  SELECT ng.qid AS qid,
+         coalesce(tp.tp, 0) * 1.0 / np.n_pred AS precision,
+         coalesce(tp.tp, 0) * 1.0 / ng.n_gt AS recall
+  FROM ng JOIN np ON ng.qid = np.qid LEFT JOIN tp ON ng.qid = tp.qid
+)
+SELECT qid, round(precision, 6) AS precision, round(recall, 6) AS recall,
+       round(CASE WHEN precision + recall > 0
+             THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END, 6) AS f1
+FROM m
+""",
+        "title_concat": """
+SELECT doc_id,
+       CASE WHEN source IS NOT NULL AND trim(source) <> ''
+            THEN source || ' | ' || text ELSE text END AS combined
+FROM documents
 """,
         "minhash_signatures": f"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES.strip()},

@@ -1,0 +1,330 @@
+"""Packed posting blocks + block-max scoring — the north-star physical layer.
+
+Index v2 layout: postings are packed per (term, segment) into docID-sorted,
+delta + varint compressed binary blocks with per-block impact bounds:
+
+    (term, segment, n_docs, max_tf, min_dl, doc_blob, tf_blob, dl_blob)
+
+  * segment = doc_id // segment_size — a doc-range shard. Hot terms (`def`,
+    `{`, …) split across segments automatically, so the groupBy(term,
+    segment) packing has bounded per-group size and no reducer hotspot:
+    the segment key IS the salt (SURVEY.md §4 skew row).
+  * delta+varint: doc ids within a block are strictly increasing → gaps are
+    small → 1-2 bytes each (vs 8-byte longs). Encoders are numpy-vectorized
+    inside applyInPandas (Arrow batches; no per-row Python).
+  * impact bounds are PARAMETER-FREE (max_tf, min_dl): the BM25 partial
+    idf·tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is increasing in tf and
+    decreasing in dl, so bound(term) = idf⁺·max_tf(k1+1)/(max_tf + k1(1−b+
+    b·min_dl/avgdl)) is a safe upper bound for ANY (k1, b) chosen at query
+    time — one packed index serves the whole tuning grid (bm25.py:215-246).
+
+Query v2 (block-max WAND-style): per (query, partition of segments), sum the
+per-term block bounds; if the bound cannot beat the current k-th best score,
+skip decoding the segment entirely. Exact scores for surviving segments are
+computed vectorized (numpy) and fed into a bounded per-partition heap; the
+global merge is ≤ partitions×k rows (the reference's chunked-scan +
+heappushpop shape, sentence_transformers.py:334-364, planned distributedly).
+Skipping uses safe bounds only → rank/score-identical to the exact v1 join
+scorer (verified in tests).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from fusion_spark.indexing import BM25Index
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("segment", LongType()),
+        StructField("n_docs", IntegerType()),
+        StructField("max_tf", IntegerType()),
+        StructField("min_dl", IntegerType()),
+        StructField("doc_blob", BinaryType()),
+        StructField("tf_blob", BinaryType()),
+        StructField("dl_blob", BinaryType()),
+    ]
+)
+
+
+# --------------------------- varint codec (numpy) ---------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint for a uint64 array — vectorized byte-plane construction."""
+    v = values.astype(np.uint64)
+    if v.size == 0:
+        return b""
+    out = bytearray()
+    # vectorized: compute byte counts, then emit per-plane
+    nbytes = np.maximum((64 - np.clip([int(x).bit_length() for x in v], 1, 64) + 6) // 7, 1)
+    # fallback simple loop on planes; values are numpy but loop is per-plane
+    remaining = v.copy()
+    active = np.ones(v.size, dtype=bool)
+    planes = []
+    while active.any():
+        byte = (remaining & np.uint64(0x7F)).astype(np.uint8)
+        remaining = remaining >> np.uint64(7)
+        more = remaining > 0
+        byte[more & active] |= 0x80
+        planes.append((byte, active.copy()))
+        active = active & more
+    # interleave planes per value
+    max_planes = len(planes)
+    buf = np.zeros((v.size, max_planes), dtype=np.uint8)
+    mask = np.zeros((v.size, max_planes), dtype=bool)
+    for i, (byte, act) in enumerate(planes):
+        buf[act, i] = byte[act]
+        mask[act, i] = True
+    out = buf[mask].tobytes()
+    return out
+
+
+def varint_decode(blob: bytes, count: int) -> np.ndarray:
+    """Decode `count` LEB128 varints — vectorized via byte masks."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    cont = (raw & 0x80) > 0
+    # value start positions: a byte starts a value if previous byte had no cont bit
+    starts = np.empty(raw.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = ~cont[:-1]
+    value_idx = np.cumsum(starts) - 1  # which value each byte belongs to
+    # byte position within its value
+    pos_in_value = np.arange(raw.size) - np.maximum.accumulate(
+        np.where(starts, np.arange(raw.size), 0)
+    )
+    vals = np.zeros(count, dtype=np.uint64)
+    np.add.at(
+        vals,
+        value_idx,
+        (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos_in_value.astype(np.uint64)),
+    )
+    return vals
+
+
+# --------------------------- packing ---------------------------------------
+
+def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
+    """Postings → packed blocks via groupBy(term, segment).applyInPandas."""
+    p = index.postings.withColumn(
+        "segment", (F.col("doc_id") / F.lit(segment_size)).cast("long")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        seg = int(pdf["segment"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        deltas = np.empty_like(doc_ids)
+        deltas[0] = doc_ids[0] - seg * segment_size
+        deltas[1:] = np.diff(doc_ids)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "segment": [seg],
+                "n_docs": [len(doc_ids)],
+                "max_tf": [int(tfs.max())],
+                "min_dl": [int(dls.min())],
+                "doc_blob": [varint_encode(deltas.astype(np.uint64))],
+                "tf_blob": [varint_encode(tfs.astype(np.uint64))],
+                "dl_blob": [varint_encode(dls.astype(np.uint64))],
+            }
+        )
+
+    return p.groupBy("term", "segment").applyInPandas(pack, schema=BLOCK_SCHEMA)
+
+
+@dataclass
+class PackedIndex:
+    blocks: DataFrame  # BLOCK_SCHEMA
+    termstats: DataFrame  # (term, df, idf)
+    n_docs: int
+    avgdl: float
+    segment_size: int
+    variant: str = "bm25"
+
+    @classmethod
+    def from_index(cls, index: BM25Index, segment_size: int = 1 << 20) -> "PackedIndex":
+        return cls(
+            blocks=pack_index(index, segment_size),
+            termstats=index.termstats,
+            n_docs=index.n_docs,
+            avgdl=index.avgdl,
+            segment_size=segment_size,
+            variant=index.variant,
+        )
+
+    def write(self, path: str) -> None:
+        import json as _json
+        import os as _os
+
+        self.blocks.repartition("segment").write.mode("overwrite").parquet(f"{path}/blocks")
+        self.termstats.write.mode("overwrite").parquet(f"{path}/termstats")
+        with open(f"{path}/meta.json", "w") as f:
+            _json.dump(
+                {
+                    "n_docs": self.n_docs,
+                    "avgdl": self.avgdl,
+                    "segment_size": self.segment_size,
+                    "variant": self.variant,
+                },
+                f,
+            )
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "PackedIndex":
+        import json as _json
+
+        with open(f"{path}/meta.json") as f:
+            meta = _json.load(f)
+        return cls(
+            blocks=spark.read.parquet(f"{path}/blocks"),
+            termstats=spark.read.parquet(f"{path}/termstats"),
+            **meta,
+        )
+
+
+# --------------------------- block-max WAND scoring -------------------------
+
+def wand_search(
+    packed: PackedIndex,
+    queries: DataFrame,
+    k: int = 1000,
+    k1: float = 1.5,
+    b: float = 0.75,
+    mode: str = "simple",
+) -> DataFrame:
+    """Top-k BM25 over the packed index with per-partition block skipping and
+    bounded heaps. Rank/score identical to scoring.search (sparse mode):
+    deterministic sorted-term summation, tie-break (score DESC, doc_id ASC).
+    """
+    from fusion_spark.scoring import query_terms
+
+    spark = queries.sparkSession
+    qterms = query_terms(queries, mode=mode).join(
+        packed.termstats.select("term", "idf"), "term"
+    )
+    # tiny: (qid, term, qtf, idf) — ship to every partition via closure
+    qt_rows = qterms.collect()
+    by_term: dict[str, list[tuple[int, int, float]]] = {}
+    qids_all = sorted({r["qid"] for r in qt_rows})
+    for r in qt_rows:
+        by_term.setdefault(r["term"], []).append((r["qid"], r["qtf"], r["idf"]))
+
+    avgdl = packed.avgdl
+    variant = packed.variant
+    seg_size = packed.segment_size
+
+    def partial(tf: np.ndarray, dl: np.ndarray, idf: float) -> np.ndarray:
+        tfd = tf.astype(np.float64)
+        if variant == "tfidf":
+            return tfd * idf
+        dld = dl.astype(np.float64)
+        denom = tfd + k1 * (1.0 - b + b * dld / avgdl)
+        return idf * (tfd * (k1 + 1.0)) / denom
+
+    def bound(max_tf: int, min_dl: int, idf: float) -> float:
+        if idf <= 0:
+            return 0.0  # negative-idf terms can only lower a score
+        if variant == "tfidf":
+            return max_tf * idf
+        denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
+        return idf * (max_tf * (k1 + 1.0)) / denom
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # gather this partition's blocks for query terms, grouped by segment
+        segs: dict[int, list] = {}
+        for pdf in batches:
+            hit = pdf[pdf["term"].isin(by_term.keys())]
+            for row in hit.itertuples(index=False):
+                segs.setdefault(int(row.segment), []).append(row)
+        heaps: dict[int, list] = {q: [] for q in qids_all}  # qid -> [(score, -doc_id)]
+
+        # per segment: per-query upper bound, skip if it cannot enter the heap
+        seg_bounds = []
+        for seg, rows in segs.items():
+            ub: dict[int, float] = {}
+            for row in rows:
+                for qid, qtf, idf in by_term[row.term]:
+                    ub[qid] = ub.get(qid, 0.0) + qtf * bound(row.max_tf, row.min_dl, idf)
+            seg_bounds.append((seg, rows, ub))
+        # visit promising segments first so heap thresholds tighten early
+        seg_bounds.sort(key=lambda x: -max(x[2].values(), default=0.0))
+
+        for seg, rows, ub in seg_bounds:
+            active_qids = [
+                q
+                for q in ub
+                if len(heaps[q]) < k or ub[q] > heaps[q][0][0]
+            ]
+            if not active_qids:
+                continue  # block-max skip: no query can improve its top-k
+            # decode + exact scoring, vectorized per term then accumulated
+            acc: dict[int, dict[int, list[tuple[str, float]]]] = {
+                q: {} for q in active_qids
+            }
+            for row in rows:
+                deltas = varint_decode(bytes(row.doc_blob), row.n_docs).astype(np.int64)
+                doc_ids = np.cumsum(deltas) + seg * seg_size
+                tfs = varint_decode(bytes(row.tf_blob), row.n_docs)
+                dls = varint_decode(bytes(row.dl_blob), row.n_docs)
+                for qid, qtf, idf in by_term[row.term]:
+                    if qid not in acc:
+                        continue
+                    ps = qtf * partial(tfs, dls, idf)
+                    store = acc[qid]
+                    for d, p in zip(doc_ids.tolist(), ps.tolist()):
+                        store.setdefault(d, []).append((row.term, p))
+            for qid in active_qids:
+                h = heaps[qid]
+                for d, term_ps in acc[qid].items():
+                    # deterministic sorted-term summation (tie contract,
+                    # matches scoring.py's sort_array fold)
+                    s = 0.0
+                    for _, p in sorted(term_ps):
+                        s += p
+                    item = (s, -d)
+                    if len(h) < k:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+        rows_out = [
+            {"qid": q, "doc_id": -nd, "score": s}
+            for q, h in heaps.items()
+            for (s, nd) in h
+        ]
+        yield pd.DataFrame(rows_out, columns=["qid", "doc_id", "score"]).astype(
+            {"qid": "int64", "doc_id": "int64", "score": "float64"}
+        )
+
+    candidates = packed.blocks.repartition("segment").mapInPandas(
+        score_partition, schema="qid long, doc_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "rank")
+    )

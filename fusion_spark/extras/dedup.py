@@ -46,12 +46,17 @@ def shingles(
     """Distinct token n-gram shingles per doc: (doc_id, shingle).
     Shingle = n consecutive tokens joined by single spaces."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(n)]
+    # guard: sequence(1, 0) generates a DESCENDING [1, 0] in ANSI Spark, so
+    # docs with < n tokens must short-circuit to an empty shingle array
+    sh = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         toks.select(F.col(doc_id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -174,6 +174,11 @@ def build_index_resumable(
         postings_b = _postings_from_tokens(toks, "doc_id")
         out = os.path.join(index_dir, f"postings_bucket={b}")
         postings_b.write.mode("overwrite").parquet(out)
+        # docstats persisted separately: token-less docs have NO postings but
+        # still count toward N and avgdl (idf depends on exact N)
+        toks.select("doc_id", "dl").write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"docstats_bucket={b}")
+        )
         n_postings = spark.read.parquet(out).count()
         n_docs_b = bucket_docs.count()
         with open(_manifest_path(index_dir), "a") as f:
@@ -204,7 +209,15 @@ def load_index(
         if d.startswith("postings_bucket=")
     ]
     postings = spark.read.parquet(*paths)
-    docstats = postings.select("doc_id", "dl").distinct()
+    ds_paths = [
+        os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith("docstats_bucket=")
+    ]
+    if ds_paths:
+        docstats = spark.read.parquet(*ds_paths)
+    else:  # legacy stores: token-less docs unrecoverable — derive from postings
+        docstats = postings.select("doc_id", "dl").distinct()
     return _finalize(postings, docstats, variant)
 
 

@@ -126,6 +126,36 @@ def metrics_per_query(
     return out.drop("n_gt")
 
 
+def set_precision_recall_f1(preds: DataFrame, qrels: DataFrame) -> DataFrame:
+    """M7 (metrics.py:6-22): set-overlap tp/fp/fn → per-query precision,
+    recall, F1. preds: (qid, doc_id) — rank-free set semantics."""
+    gt = explode_qrels(qrels)
+    p = preds.select("qid", "doc_id").distinct()
+    tp = p.join(gt, ["qid", "doc_id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("tp"))
+    np_ = p.groupBy("qid").agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt"))
+    out = (
+        ng.join(np_, "qid", "left")
+        .join(tp, "qid", "left")
+        .withColumn("tp", F.coalesce("tp", F.lit(0)))
+        .withColumn("n_pred", F.coalesce("n_pred", F.lit(0)))
+        .withColumn(
+            "precision",
+            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("recall", F.col("tp") / F.col("n_gt"))
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.select("qid", "precision", "recall", "f1")
+
+
 def compute_all_metrics(
     preds: DataFrame,
     qrels: DataFrame,

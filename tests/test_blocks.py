@@ -1,0 +1,87 @@
+"""Index v2: varint codec roundtrip + rank/score identity of the block-max
+WAND scorer vs the exact v1 join scorer."""
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from fusion_spark.blocks import PackedIndex, varint_decode, varint_encode, wand_search
+from fusion_spark.indexing import build_index
+from fusion_spark.scoring import search
+
+
+def test_varint_roundtrip_small():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**50], dtype=np.uint64)
+    blob = varint_encode(vals)
+    out = varint_decode(blob, len(vals))
+    assert out.tolist() == vals.tolist()
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        vals = rng.integers(0, 2**40, size=rng.integers(1, 500)).astype(np.uint64)
+        assert varint_decode(varint_encode(vals), len(vals)).tolist() == vals.tolist()
+
+
+def test_varint_empty():
+    assert varint_encode(np.zeros(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"", 0).tolist() == []
+
+
+def _collect(df):
+    got = defaultdict(list)
+    for r in df.orderBy("qid", "rank").collect():
+        got[r["qid"]].append((r["doc_id"], r["score"]))
+    return got
+
+
+@pytest.mark.parametrize("variant,k1,b", [("bm25", 2.5, 0.2), ("bm25", 1.5, 0.75), ("tfidf", 0, 0)])
+def test_wand_identical_to_exact(spark, docs_df, queries_df, variant, k1, b):
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content", variant=variant)
+    packed = PackedIndex.from_index(idx, segment_size=16)  # 64 docs → 4 segments
+    exact = _collect(search(idx, queries_df, k=10, k1=k1, b=b, zero_tail=False))
+    wand = _collect(wand_search(packed, queries_df, k=10, k1=k1, b=b))
+    assert set(wand) == set(exact)
+    for qid in exact:
+        assert [d for d, _ in wand[qid]] == [d for d, _ in exact[qid]], f"qid {qid}"
+        for (_, a), (_, b_) in zip(wand[qid], exact[qid]):
+            assert a == pytest.approx(b_, abs=1e-9)
+
+
+def test_packed_roundtrip_persistence(spark, docs_df, tmp_path):
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=16)
+    packed.write(str(tmp_path / "packed"))
+    loaded = PackedIndex.read(spark, str(tmp_path / "packed"))
+    assert loaded.n_docs == packed.n_docs
+    assert loaded.avgdl == pytest.approx(packed.avgdl)
+    assert loaded.blocks.count() == packed.blocks.count()
+    # blocks decode to the same postings count
+    import pyspark.sql.functions as F
+
+    n_post = idx.postings.count()
+    assert loaded.blocks.agg(F.sum("n_docs")).collect()[0][0] == n_post
+
+
+def test_block_bounds_are_safe(spark, docs_df, queries_df):
+    """Every exact partial must be ≤ its block bound (skipping is score-safe)."""
+    import math
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=16)
+    k1, b = 2.5, 0.2
+    blocks = {(r["term"], r["segment"]): r for r in packed.blocks.collect()}
+    idfs = {r["term"]: r["idf"] for r in idx.termstats.collect()}
+    for r in idx.postings.collect():
+        blk = blocks[(r["term"], r["doc_id"] // 16)]
+        idf = idfs[r["term"]]
+        exact = idf * (r["tf"] * (k1 + 1)) / (r["tf"] + k1 * (1 - b + b * r["dl"] / idx.avgdl))
+        if idf <= 0:
+            bound = 0.0
+        else:
+            bound = idf * (blk["max_tf"] * (k1 + 1)) / (
+                blk["max_tf"] + k1 * (1 - b + b * blk["min_dl"] / idx.avgdl)
+            )
+        assert exact <= bound + 1e-12

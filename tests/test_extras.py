@@ -1,0 +1,164 @@
+"""Dedup / similarity / textstats / multimodal operators on fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fusion_spark.extras import dedup, multimodal, similarity, textstats
+
+
+def test_exact_dedup_finds_duplicate_contents(spark, docs_df):
+    # synth corpus plants identical contents at 3 docs (synth.py)
+    out = dedup.exact_duplicates(docs_df, text_col="content")
+    dups = out.filter("n_docs >= 3").collect()
+    assert len(dups) >= 1
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs_df.count()
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs_df):
+    sigs = dedup.minhash_signatures(docs_df, text_col="content", n=3, num_hashes=4)
+    dup_ids = [
+        r["doc_id"]
+        for r in dedup.exact_duplicates(docs_df, text_col="content")
+        .filter("n_docs >= 3")
+        .join(
+            docs_df.select("doc_id", F.md5("content").alias("text_hash")), "text_hash"
+        )
+        .collect()
+    ]
+    rows = sigs.filter(F.col("doc_id").isin(dup_ids)).collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r["seed"], set()).add(r["minhash"])
+    assert all(len(v) == 1 for v in by_seed.values())
+
+
+def test_lsh_candidates_include_exact_duplicates(spark, docs_df):
+    sigs = dedup.minhash_signatures(docs_df, text_col="content", n=3, num_hashes=4)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs, 2).collect()}
+    # only content-bearing duplicates can minhash (empty/whitespace dup
+    # groups have no shingles — correct LSH behavior)
+    dup_ids = sorted(
+        r["doc_id"]
+        for r in docs_df.filter(F.length("content") > 20)
+        .join(
+            dedup.exact_duplicates(docs_df, text_col="content").filter("n_docs >= 3"),
+            F.md5("content") == F.col("text_hash"),
+        )
+        .collect()
+    )
+    assert len(dup_ids) >= 3
+    for i in range(len(dup_ids)):
+        for j in range(i + 1, len(dup_ids)):
+            assert (dup_ids[i], dup_ids[j]) in pairs
+
+
+def test_jaccard_exact_duplicates_score_one(spark, docs_df):
+    sh = dedup.shingles(docs_df, text_col="content", n=3)
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.99).collect()
+    assert len(pairs) >= 3  # the 3 identical docs form 3 pairs
+    for r in pairs:
+        assert r["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_duplicates_equal_and_blocking(spark, docs_df):
+    sim = dedup.simhash(docs_df, text_col="content")
+    dups = dedup.simhash_near_dups(sim, max_hamming=0)
+    assert dups.count() >= 3
+
+
+def test_cosine_topk_self_match_first(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(20)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.cosine_topk(embs, qv, k=3).collect()
+    top1 = {r["qid"]: (r["vec_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    for qid, (vid, cos) in top1.items():
+        assert cos == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rows = [(i, [float(((i + 1) * (j + 2)) % 7 - 3) for j in range(8)]) for i in range(10)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(embs, qv, k=10).collect()}
+    q = np.array(rows[0][1])
+    for vid, vec in rows:
+        v = np.array(vec)
+        exp = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert out[vid] == pytest.approx(exp, abs=1e-6)
+
+
+def test_lsh_cosine_subset_of_bruteforce_bucket(spark):
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.lsh_cosine_topk(embs, qv, k=5, n_planes=4, dim=16)
+    rows_out = out.collect()
+    assert len(rows_out) > 0
+    # the query's own vector shares its bucket → always rank 1 with cos 1
+    top1 = {r["qid"]: r for r in rows_out if r["rank"] == 1}
+    for qid, r in top1.items():
+        assert r["vec_id"] == qid and r["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_token_stats_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox! 42 times."), (2, ""), (3, "a b c d e f g h i j k")],
+        "doc_id long, text string",
+    )
+    ts = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert ts[1]["n_ws_tokens"] == 6
+    assert ts[2]["n_ws_tokens"] == 0
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[2]["quality"] == 0.0
+    assert q[3]["n_tokens"] == 11 and q[3]["quality"] > 0
+
+
+def test_lang_id_votes(spark):
+    docs = spark.createDataFrame(
+        [(1, "scan filter join agg group window extra"), (2, "table column row part key hash")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert out[1] == "dataflow" and out[2] == "storage"
+
+
+def test_fingerprint_deterministic_and_dup_equal(spark, docs_df):
+    fp = textstats.fingerprint(docs_df, text_col="content")
+    rows = {r["doc_id"]: tuple(r["fingerprints"]) for r in fp.collect()}
+    dup_ids = [
+        r["doc_id"]
+        for r in docs_df.filter(F.length("content") > 20)
+        .join(
+            dedup.exact_duplicates(docs_df, text_col="content").filter("n_docs >= 3"),
+            F.md5("content") == F.col("text_hash"),
+        )
+        .collect()
+    ]
+    assert len(dup_ids) >= 3
+    assert len({rows[d] for d in dup_ids}) == 1
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, "image", "deadbeef", 64, 64, 0), (2, "video", "c0ffee", 0, 0, 3000)],
+        "media_id long, kind string, payload string, meta_width long, meta_height long, meta_duration_ms long",
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert feats[1]["n_bytes"] == 4 and len(feats[1]["feature"]) == 4
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    assert plan.count() == 4  # ts 0,1000,2000,3000 for the video
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decode_stub=False).collect()

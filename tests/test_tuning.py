@@ -1,0 +1,41 @@
+"""Tuning grids: small k1/b grid matches per-combo direct evaluation; the
+weight simplex enumerates the right count and sums to 1."""
+
+import pytest
+
+from fusion_spark import synth
+from fusion_spark.indexing import build_index
+from fusion_spark.metrics import compute_all_metrics
+from fusion_spark.scoring import search
+from fusion_spark.tuning import bm25_grid, weight_simplex
+
+
+def test_weight_simplex_counts():
+    combos = weight_simplex(["a", "b"], step=0.5)
+    assert sorted(tuple(sorted(c.items())) for c in combos) == sorted(
+        [
+            (("a", 0.0), ("b", 1.0)),
+            (("a", 0.5), ("b", 0.5)),
+            (("a", 1.0), ("b", 0.0)),
+        ]
+    )
+    full = weight_simplex(["a", "b", "c"], step=0.05)
+    assert all(abs(sum(w.values()) - 1.0) < 1e-9 for w in full)
+    assert len(full) == 231  # C(20+2, 2)
+
+
+def test_bm25_grid_matches_direct(spark, docs_df, queries_df, qrel_rows):
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qrels = spark.createDataFrame(qrel_rows)
+    grid = bm25_grid(
+        idx, queries_df, qrels, k1_values=[0.5, 2.5], b_values=[0.2], top_k=20,
+        recall_k=(10,),
+    ).collect()
+    assert len(grid) == 2
+    for row in grid:
+        ranked = search(idx, queries_df, k=20, k1=row["k1"], b=row["b"])
+        direct = compute_all_metrics(
+            ranked.select("qid", "doc_id", "rank"), qrels,
+            recall_k=(10,), map_k=(), mrr_k=(), ndcg_k=(),
+        )
+        assert row["recall_10"] == pytest.approx(direct["recall@10"], abs=1e-9)
