@@ -258,6 +258,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10)
         )
 
+    _PCT_DISTR = [i * 3.0 for i in range(11)]  # fixed 11-point distribution
+
+    def fusion_nsf_percentile(spark, sf_dir):
+        return _rounded(
+            fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="percentile-rank",
+                    weights={"bm25": 0.5, "tfidf": 0.5},
+                    distributions={"bm25": _PCT_DISTR, "tfidf": _PCT_DISTR},
+                    return_topk=10)
+        )
+
+    def fusion_nsf_nce(spark, sf_dir):  # rows-only: Φ⁻¹ not in DuckDB
+        return _rounded(
+            fz.fuse(_legs(spark, sf_dir), method="nsf",
+                    normalization="normal-curve-equivalent",
+                    weights={"bm25": 0.5, "tfidf": 0.5},
+                    distributions={"bm25": _PCT_DISTR, "tfidf": _PCT_DISTR},
+                    return_topk=10)
+        )
+
+    def sha256_invariant(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+        )
+
     def fusion_nsf_arctan(spark, sf_dir):
         return _rounded(
             fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="arctan",
@@ -382,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_nsf_minmax": fusion_nsf_minmax,
         "fusion_nsf_zscore": fusion_nsf_zscore,
         "fusion_nsf_arctan": fusion_nsf_arctan,
+        "fusion_nsf_percentile": fusion_nsf_percentile,
+        "fusion_nsf_nce": fusion_nsf_nce,
+        "sha256_invariant": sha256_invariant,
         "score_distribution": score_distribution,
         "ir_metrics": ir_metrics,
         "exact_dedup": exact_dedup,
@@ -493,6 +520,18 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
             "SELECT qid, doc_id, (2/pi()) * atan(0.1 * score) AS tscore FROM legs",
             weighted=True,
         ),
+        "fusion_nsf_percentile": fused(
+            """SELECT qid, doc_id, tscore FROM (
+                 SELECT qid, doc_id, i / 11.0 AS tscore,
+                        row_number() OVER (PARTITION BY system, qid, doc_id
+                                           ORDER BY abs(d - score) ASC, i ASC) AS rn
+                 FROM legs CROSS JOIN (
+                   SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
+                 )
+               ) WHERE rn = 1""",
+            weighted=True,
+        ),
+        "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "score_distribution": f"""{legs_sql},
 bm AS (SELECT system, score FROM legs WHERE system = 'bm25' AND score <> 0.0),
 small2 AS (
