@@ -24,6 +24,7 @@ from fusion_spark.scoring import extract_negatives, search
 from fusion_spark import fusion as fz
 from fusion_spark.metrics import metrics_per_query
 from fusion_spark.extras import dedup, similarity, textstats
+from fusion_spark.tokenize import DEFAULT_STOPWORDS
 
 # ---------------------------------------------------------------------------
 # Fixed evaluation query set (deterministic; exercises duplicate tokens, OOV,
@@ -362,6 +363,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "combined"
         )
 
+    def embedding_near_dups(spark, sf_dir):
+        out = similarity.cosine_near_dups(_embs(spark, sf_dir), min_cosine=0.4)
+        return _rounded(out, "cosine", 5)
+
+    def events_windowed(spark, sf_dir):
+        from fusion_spark.streaming import windowed_event_counts
+
+        return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+    def reference_tokenize(spark, sf_dir):
+        from fusion_spark.tokenize import tokenize
+
+        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="reference")
+        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        return out.withColumn("pos", F.col("pos").cast("long"))
+
+    def code_tokenize(spark, sf_dir):
+        from fusion_spark.tokenize import tokenize
+
+        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="code")
+        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        return out.withColumn("pos", F.col("pos").cast("long"))
+
     # ---- rows-only (non-SQL-expressible; driver records weaker check) ----
     def simhash_dedup(spark, sf_dir):
         return dedup.simhash(_docs(spark, sf_dir))
@@ -421,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "set_prf": set_prf,
         "title_concat": title_concat,
+        "embedding_near_dups": embedding_near_dups,
+        "events_windowed": events_windowed,
+        "reference_tokenize": reference_tokenize,
+        "code_tokenize": code_tokenize,
         "simhash_dedup": simhash_dedup,
         "doc_fingerprint": doc_fingerprint,
         "lsh_cosine_topk": lsh_cosine_topk,
@@ -532,6 +560,44 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
             weighted=True,
         ),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "embedding_near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "events_windowed": """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "reference_tokenize": rf"""
+WITH ref AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(text), '\s+'),
+        t -> t <> ''
+             AND NOT regexp_matches(t, '^[^\w\s]+$')
+             AND NOT regexp_matches(t, '\d')
+             AND NOT list_contains([{", ".join(repr(s) for s in sorted(DEFAULT_STOPWORDS))}], lower(t))),
+      t -> lower(t)) AS toks
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM ref
+""",
+        "code_tokenize": r"""
+WITH ct AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+(\.[0-9]+)?|[^\sA-Za-z0-9_]'),
+        t -> NOT regexp_matches(t, '^[0-9]')),
+      t -> lower(t)) AS toks
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM ct
+""",
         "score_distribution": f"""{legs_sql},
 bm AS (SELECT system, score FROM legs WHERE system = 'bm25' AND score <> 0.0),
 small2 AS (

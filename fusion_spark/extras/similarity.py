@@ -60,6 +60,35 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dups(
+    embeddings: DataFrame,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) with
+    vec_a < vec_b and cosine ≥ min_cosine. Brute-force all-pairs at test
+    scale; at corpus scale pass `buckets` (vec_id, bucket) — e.g. from
+    lsh_signature — to restrict the self-join to same-bucket pairs."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if buckets is not None:
+        e = e.join(buckets, "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if buckets is not None:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    pairs = a.join(b, cond).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= min_cosine)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits — no RNG state, identical
     on every executor/run."""

@@ -55,6 +55,52 @@ def incremental_index_stream(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+_MEMSINK_COUNTER = [0]
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregation over an events table:
+    per (event_type, window) count + sum(value). Runs with availableNow into
+    a memory sink (complete mode) and returns the final result as a batch
+    DataFrame — the streaming demo query for the driver contract. A live
+    deployment uses the same plan with a watermark + append sink."""
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        # the streaming file source requires a DIRECTORY; stage single files
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+    _MEMSINK_COUNTER[0] += 1
+    name = f"windowed_events_{_MEMSINK_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def load_incremental_index(
     spark: SparkSession, store_dir: str, variant: str = "bm25"
 ) -> BM25Index:
