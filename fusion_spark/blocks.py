@@ -204,6 +204,43 @@ class PackedIndex:
         )
 
 
+def merge_packed(spark: SparkSession, paths: list[str]) -> PackedIndex:
+    """Merge stage: union several per-partition packed segment stores (e.g.
+    one per ingest shard / per bucketed build) into one queryable posting
+    store. Requires disjoint doc_id ranges across stores (each doc indexed
+    exactly once) and identical segment_size/variant. df is re-summed per
+    term (exact under disjointness), idf recomputed against the merged N,
+    avgdl merged as the doc-count-weighted mean — identical to a monolithic
+    build over the union."""
+    import json as _json
+
+    from fusion_spark.indexing import idf_expr
+
+    metas = []
+    for p in paths:
+        with open(f"{p}/meta.json") as f:
+            metas.append(_json.load(f))
+    seg = {m["segment_size"] for m in metas}
+    var = {m["variant"] for m in metas}
+    if len(seg) != 1 or len(var) != 1:
+        raise ValueError(f"incompatible stores: segment_sizes={seg}, variants={var}")
+    n_docs = sum(m["n_docs"] for m in metas)
+    avgdl = (
+        sum(m["n_docs"] * m["avgdl"] for m in metas) / n_docs if n_docs else 0.0
+    )
+    blocks = spark.read.parquet(*[f"{p}/blocks" for p in paths])
+    termstats = (
+        spark.read.parquet(*[f"{p}/termstats" for p in paths])
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("idf", idf_expr(var.pop(), n_docs))
+    )
+    return PackedIndex(
+        blocks=blocks, termstats=termstats, n_docs=n_docs, avgdl=avgdl,
+        segment_size=seg.pop(), variant=metas[0]["variant"],
+    )
+
+
 # --------------------------- block-max WAND scoring -------------------------
 
 def wand_search(

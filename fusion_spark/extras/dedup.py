@@ -107,13 +107,29 @@ def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 2) -> DataFrame:
 
 
 def jaccard_pairs(
-    sh: DataFrame, min_jaccard: float = 0.0, candidates: DataFrame | None = None
+    sh: DataFrame,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard per doc pair sharing ≥1 shingle:
     |A∩B| / (|A|+|B|−|A∩B|). If `candidates` (doc_a, doc_b) is given, only
     verify those pairs (the LSH path); otherwise join on shared shingles
-    (exact, quadratic in hot-shingle bucket size — small corpora only)."""
+    (exact, quadratic in hot-shingle bucket size). `max_shingle_df` drops
+    shingles occurring in more than that many docs from the PAIR-GENERATING
+    join (the standard hot-shingle cap at corpus scale: a shingle in 10^6
+    docs would emit 10^12 pairs); sizes/intersections still use all shingles
+    of the surviving pairs when `candidates` is used, so set it only for the
+    un-banded approximate path."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -65,6 +65,46 @@ def test_packed_roundtrip_persistence(spark, docs_df, tmp_path):
     assert loaded.blocks.agg(F.sum("n_docs")).collect()[0][0] == n_post
 
 
+def test_merge_packed_equals_monolithic(spark, docs_df, queries_df, tmp_path):
+    """Two disjoint-shard packed stores merged == one monolithic packed
+    build, down to identical WAND search results."""
+    from pyspark.sql import functions as F
+
+    from fusion_spark.blocks import merge_packed
+
+    full_idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    mono = PackedIndex.from_index(full_idx, segment_size=16)
+
+    shards = []
+    for i, cond in enumerate(["doc_id < 32", "doc_id >= 32"]):
+        part_idx = build_index(
+            docs_df.filter(cond), doc_id_col="doc_id", text_col="content"
+        )
+        # shard stats (N, avgdl, df) are per-shard here; merge must fix them up
+        p = PackedIndex.from_index(part_idx, segment_size=16)
+        path = str(tmp_path / f"shard{i}")
+        p.write(path)
+        shards.append(path)
+
+    merged = merge_packed(spark, shards)
+    assert merged.n_docs == mono.n_docs
+    assert merged.avgdl == pytest.approx(mono.avgdl)
+    ts_m = {r["term"]: (r["df"], r["idf"]) for r in merged.termstats.collect()}
+    ts_o = {r["term"]: (r["df"], r["idf"]) for r in mono.termstats.collect()}
+    assert set(ts_m) == set(ts_o)
+    for t in ts_o:
+        assert ts_m[t][0] == ts_o[t][0]
+        assert ts_m[t][1] == pytest.approx(ts_o[t][1], abs=1e-12)
+
+    a = _collect(wand_search(merged, queries_df, k=10, k1=2.5, b=0.2))
+    b = _collect(wand_search(mono, queries_df, k=10, k1=2.5, b=0.2))
+    assert set(a) == set(b)
+    for qid in b:  # merged avgdl/idf may differ from monolithic by ~1 ulp
+        assert [d for d, _ in a[qid]] == [d for d, _ in b[qid]]
+        for (_, x), (_, y) in zip(a[qid], b[qid]):
+            assert x == pytest.approx(y, rel=1e-12, abs=1e-12)
+
+
 def test_block_bounds_are_safe(spark, docs_df, queries_df):
     """Every exact partial must be ≤ its block bound (skipping is score-safe)."""
     import math
