@@ -77,7 +77,13 @@ def _ranked(spark, sf_dir, variant="bm25", k=10, k1=2.5, b=0.2, zero_tail=False)
 
 
 def _rounded(df: DataFrame, col: str = "score", nd: int = 6) -> DataFrame:
-    return df.withColumn(col, F.round(F.col(col), nd))
+    df = df.withColumn(col, F.round(F.col(col), nd))
+    # row_number() is int32 in Spark but int64 in DuckDB — widen rank-like
+    # columns so a type-strict schema compare can't trip on integer width
+    for c in ("rank", "neg_rank"):
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("long"))
+    return df
 
 
 def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:

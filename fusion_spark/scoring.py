@@ -142,6 +142,41 @@ def search(
     return top_k(scored, k, "qid").select("qid", "doc_id", "score", "rank")
 
 
+def estimate_selectivity(index: BM25Index, queries: DataFrame, mode: str = "simple") -> float:
+    """Fraction of the posting store a query batch touches: Σ df(query terms)
+    / Σ df(all terms). The physical-plan chooser's only statistic."""
+    qterms = query_terms(queries, mode=mode).select("term").distinct()
+    touched = (
+        qterms.join(index.termstats, "term").agg(F.sum("df").alias("s")).collect()[0]["s"]
+    ) or 0
+    total = index.termstats.agg(F.sum("df").alias("s")).collect()[0]["s"] or 1
+    return touched / total
+
+
+def search_auto(
+    index: BM25Index,
+    packed,
+    queries: DataFrame,
+    k: int = 1000,
+    k1: float = 1.5,
+    b: float = 0.75,
+    mode: str = "simple",
+    wand_threshold: float = 0.05,
+) -> DataFrame:
+    """Tiny physical planner: selective query batches (touching < threshold
+    of the posting store) go through the packed block-max WAND path (term
+    pushdown prunes the store scan + skipping); dense batches go through the
+    exact broadcast-join scorer (whole-stage codegen wins when most blocks
+    must be decoded anyway). Both paths are rank/score-identical, so this is
+    purely a physical choice — the Catalyst-style 'pick the physical
+    strategy from stats' move, done with the one statistic we keep (df)."""
+    if packed is not None and estimate_selectivity(index, queries, mode) < wand_threshold:
+        from fusion_spark.blocks import wand_search
+
+        return wand_search(packed, queries, k=k, k1=k1, b=b, mode=mode)
+    return search(index, queries, k=k, k1=k1, b=b, mode=mode)
+
+
 def extract_negatives(
     ranked: DataFrame, qrels_exploded: DataFrame, num_negatives: int
 ) -> DataFrame:

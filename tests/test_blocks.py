@@ -125,3 +125,24 @@ def test_block_bounds_are_safe(spark, docs_df, queries_df):
                 blk["max_tf"] + k1 * (1 - b + b * blk["min_dl"] / idx.avgdl)
             )
         assert exact <= bound + 1e-12
+
+
+def test_search_auto_planner(spark, docs_df, queries_df):
+    from pyspark.sql import functions as F
+
+    from fusion_spark.blocks import PackedIndex
+    from fusion_spark.scoring import estimate_selectivity, search, search_auto
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=16)
+    # hot-term queries touch a large fraction of postings
+    sel = estimate_selectivity(idx, queries_df)
+    assert 0 < sel <= 1
+    out = search_auto(idx, packed, queries_df, k=5, k1=2.5, b=0.2)
+    exact = search(idx, queries_df, k=5, k1=2.5, b=0.2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exact.collect()))
+    # a rare-term query is routed through WAND (threshold 1.0 forces it too)
+    out2 = search_auto(idx, packed, queries_df, k=5, k1=2.5, b=0.2, wand_threshold=1.1)
+    assert sorted((r["qid"], r["doc_id"]) for r in out2.collect()) == sorted(
+        (r["qid"], r["doc_id"]) for r in exact.collect()
+    )
