@@ -55,7 +55,9 @@ def _queries_df(spark: SparkSession) -> DataFrame:
 
 
 def _index(spark: SparkSession, sf_dir: str, variant: str):
-    key = (sf_dir, variant)
+    # keyed by session too: cached DataFrames die with their SparkSession,
+    # and the driver may recreate sessions between query invocations
+    key = (id(spark), sf_dir, variant)
     if key not in _INDEX_CACHE:
         idx = build_index(_docs(spark, sf_dir), doc_id_col="doc_id", text_col="text", variant=variant)
         idx.persist()
@@ -568,9 +570,9 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "embedding_near_dups": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
         "events_windowed": """
 SELECT event_type,
@@ -605,11 +607,15 @@ WITH ct AS (
 SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM ct
 """,
         "score_distribution": f"""{legs_sql},
-bm AS (SELECT system, score FROM legs WHERE system = 'bm25' AND score <> 0.0),
+bm_all AS (SELECT system, score FROM legs WHERE system = 'bm25'),
 small2 AS (
-  SELECT score FROM (SELECT DISTINCT score FROM bm ORDER BY score ASC LIMIT 2)
+  -- reference quirk: the 2-smallest-distinct set includes zeros
+  SELECT score FROM (SELECT DISTINCT score FROM bm_all ORDER BY score ASC LIMIT 2)
 ),
-kept AS (SELECT * FROM bm WHERE score NOT IN (SELECT score FROM small2))
+kept AS (
+  SELECT * FROM bm_all
+  WHERE score <> 0.0 AND score NOT IN (SELECT score FROM small2)
+)
 SELECT system, p, round(q, 6) AS q FROM (
   SELECT system, 0.0 AS p, quantile_cont(score, 0.0) AS q FROM kept GROUP BY system
   UNION ALL SELECT system, 0.25, quantile_cont(score, 0.25) FROM kept GROUP BY system
@@ -733,10 +739,10 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
 """,
         "cosine_topk": """
-WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.qid AS qid, e.vec_id AS vec_id,
-         list_cosine_similarity(q.qvec, e.embedding) AS cosine
+         list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cosine
   FROM q CROSS JOIN embeddings e
 )
 SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (

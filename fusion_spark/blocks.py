@@ -71,10 +71,7 @@ def varint_encode(values: np.ndarray) -> bytes:
     v = values.astype(np.uint64)
     if v.size == 0:
         return b""
-    out = bytearray()
-    # vectorized: compute byte counts, then emit per-plane
-    nbytes = np.maximum((64 - np.clip([int(x).bit_length() for x in v], 1, 64) + 6) // 7, 1)
-    # fallback simple loop on planes; values are numpy but loop is per-plane
+    # per-plane emission: loop runs ⌈bits/7⌉ times max, vectorized inside
     remaining = v.copy()
     active = np.ones(v.size, dtype=bool)
     planes = []

@@ -176,17 +176,19 @@ def score_distribution(
     score_lists: DataFrame, n_points: int, exclude_smallest: int = 2
 ) -> DataFrame:
     """F12 (hybrid.py:389-397): per system drop zero scores and rows whose
-    score is among the `exclude_smallest` smallest DISTINCT values, then take
-    n_points+1 equally spaced exact quantiles (linear interpolation — same
-    rule as pandas `.quantile`). Returns (system, quantiles array)."""
-    nz = score_lists.filter(F.col("score") != 0.0)
+    score is among the `exclude_smallest` smallest DISTINCT values — the
+    distinct-nsmallest set is computed over ALL scores INCLUDING zeros
+    (reference quirk: `nsmallest` runs on the unfiltered group, so a zero
+    typically occupies one of the two slots) — then take n_points+1 equally
+    spaced exact quantiles (linear interpolation — same rule as pandas
+    `.quantile`). Returns (system, quantiles array)."""
     dw = Window.partitionBy("system").orderBy("score")
     distinct_rank = (
-        nz.select("system", "score")
+        score_lists.select("system", "score")
         .distinct()
         .withColumn("dr", F.row_number().over(dw))
     )
-    kept = nz.join(
+    kept = score_lists.filter(F.col("score") != 0.0).join(
         distinct_rank.filter(F.col("dr") <= exclude_smallest).select("system", "score"),
         ["system", "score"],
         "left_anti",

@@ -135,6 +135,14 @@ def test_score_distribution_builder(spark):
     out = fusion.score_distribution(spark.createDataFrame(rows), n_points=4).collect()
     assert len(out) == 1
     q = out[0]["quantiles"]
-    # zeros and the two smallest distinct values (1, 2) excluded → data 3..10
-    assert q[0] == pytest.approx(3.0) and q[-1] == pytest.approx(10.0)
+    # reference quirk (hybrid.py:392): the 2-smallest-distinct set is taken
+    # over ALL scores INCLUDING zeros → excluded values are {0, 1}; zeros are
+    # also dropped by the nonzero filter → surviving data is 2..10
+    assert q[0] == pytest.approx(2.0) and q[-1] == pytest.approx(10.0)
     assert len(q) == 5
+
+    # without zeros, both smallest nonzero values are excluded → 3..10
+    rows_nz = [r for r in rows if r["score"] != 0.0]
+    out2 = fusion.score_distribution(spark.createDataFrame(rows_nz), n_points=4).collect()
+    q2 = out2[0]["quantiles"]
+    assert q2[0] == pytest.approx(3.0) and q2[-1] == pytest.approx(10.0)
