@@ -239,6 +239,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def atire_topk(spark, sf_dir):
         return _rounded(_ranked(spark, sf_dir, "atire", k=10, k1=1.5, b=0.75))
 
+    def bm25_topk_wand(spark, sf_dir):
+        """The v2 packed-block WAND path under the same oracle as bm25_topk:
+        rank-identical by construction, re-ranked over the 6-dp-rounded
+        score for the cross-engine tie contract."""
+        from fusion_spark.blocks import PackedIndex, wand_search
+        from fusion_spark.scoring import top_k as _top_k
+
+        key = (id(spark), sf_dir, "packed")
+        if key not in _INDEX_CACHE:
+            p = PackedIndex.from_index(_index(spark, sf_dir, "bm25"), segment_size=1 << 12)
+            p.blocks.persist()
+            _INDEX_CACHE[key] = p
+        packed = _INDEX_CACHE[key]
+        # k=50 buffer, then re-rank the rounded scores and cut to 10: a
+        # rounded tie group could straddle the raw-score cut otherwise
+        cand = wand_search(packed, _queries_df(spark), k=50, k1=2.5, b=0.2)
+        scored = cand.select("qid", "doc_id", F.round("score", 6).alias("score"))
+        return _rounded(_top_k(scored, 10).select("qid", "doc_id", "score", "rank"))
+
     def negatives_extraction(spark, sf_dir):
         ranked = _ranked(spark, sf_dir, "bm25", k=20, k1=2.5, b=0.2)
         negs = extract_negatives(ranked, _qrels(spark, sf_dir), num_negatives=5)
@@ -432,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_zero_tail": bm25_zero_tail,
         "tfidf_topk": tfidf_topk,
         "atire_topk": atire_topk,
+        "bm25_topk_wand": bm25_topk_wand,
         "negatives_extraction": negatives_extraction,
         "fusion_rrf": fusion_rrf,
         "fusion_borda": fusion_borda,
@@ -515,6 +535,7 @@ SELECT ts.term AS term, ts.df AS df, round({_IDF["bm25"]}, 6) AS idf FROM ts, co
         "bm25_zero_tail": _sql_search("bm25", 15, 2.5, 0.2, zero_tail=True),
         "tfidf_topk": _sql_search("tfidf", 10, 0.0, 0.0),
         "atire_topk": _sql_search("atire", 10, 1.5, 0.75),
+        "bm25_topk_wand": _sql_search("bm25", 10, 2.5, 0.2),
         "negatives_extraction": f"""
 WITH {_SQL_TOKS}, {_sql_scored("bm25", 2.5, 0.2)},
 ranked AS (
