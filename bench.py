@@ -223,6 +223,9 @@ def main():
         "queries": res["timings"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": res["n_docs"],
+        # the reference's headline instrumentation (bm25.py:93-97): avg
+        # latency per query — ours amortizes 64 queries over one plan
+        "bm25_ms_per_query": round(res["timings"]["bm25_search_top1000"] / 64 * 1000, 2),
     }
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         try:
