@@ -420,6 +420,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf_dir):
         return textstats.fingerprint(_docs(spark, sf_dir))
 
+    def ivf_cosine_topk(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        qv = embs.filter("vec_id < 3").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        return _rounded(
+            similarity.ivf_cosine_topk(embs, qv, k=5, n_centroids=8, n_probe=3), "cosine", 5
+        )
+
     def lsh_cosine_topk(spark, sf_dir):
         embs = _embs(spark, sf_dir)
         qv = embs.filter("vec_id < 3").select(
@@ -479,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_tokenize": code_tokenize,
         "simhash_dedup": simhash_dedup,
         "doc_fingerprint": doc_fingerprint,
+        "ivf_cosine_topk": ivf_cosine_topk,
         "lsh_cosine_topk": lsh_cosine_topk,
         "multimodal_features": multimodal_features,
     }

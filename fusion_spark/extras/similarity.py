@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,116 @@ def cosine_topk(
     Output: (qid, vec_id, cosine, rank)."""
     q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
     joined = q.crossJoin(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")))
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic IVF 'training': seed centroids = the n lowest vec_ids
+    (deterministic, no RNG), refined by `lloyd_iters` k-means steps computed
+    distributedly (assignment via Arrow UDF, new centroids via groupBy mean).
+    Centroid count is small by design — they broadcast by closure."""
+    cents = [
+        list(r["v"])
+        for r in embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(lloyd_iters):
+        assigned = assign_ivf(embeddings, cents, id_col, vec_col)
+        joined = assigned.join(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), "vec_id"
+        )
+        dim = len(cents[0])
+        means = (
+            joined.select(
+                "centroid", *[F.element_at("v", i + 1).cast("double").alias(f"d{i}") for i in range(dim)]
+            )
+            .groupBy("centroid")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["centroid"]: [r[f"d{i}"] for i in range(dim)] for r in means}
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return [list(map(float, np.asarray(c))) for c in cents]
+
+
+def assign_ivf(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid): nearest centroid by cosine — one numpy matmul per
+    Arrow batch (vectorized; centroids ship in the UDF closure)."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), nearest(F.col(vec_col)).alias("centroid")
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed by nearest
+    centroid; each query scans only its `n_probe` nearest centroids' lists
+    (≈ n_probe/n_centroids of the corpus). At cluster scale the assignment
+    is a write-time partition column — queries prune partitions exactly like
+    the term-bucketed posting store."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = assign_ivf(embeddings, centroids, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(assigned, "vec_id")
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q_rows = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        for c in (qv @ Cn.T).argsort()[::-1][:n_probe]:
+            probe_rows.append((r["qid"], list(map(float, r["qvec"])), int(c)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"qid long, qvec array<float>, centroid int"
+    )
+    joined = F.broadcast(probes).join(corpus, "centroid")
     scored = joined.select(
         "qid",
         "vec_id",

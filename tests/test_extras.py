@@ -162,3 +162,24 @@ def test_multimodal_stub_plumbing(spark):
 
     with pytest.raises(Exception):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_ivf_cosine_topk(spark):
+    import math
+
+    rows = [(i, [math.sin(i * 0.31 + j * 0.7) for j in range(16)]) for i in range(80)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivf_cosine_topk(embs, qv, k=5, n_centroids=8, n_probe=3)
+    got = {r["qid"]: r for r in out.collect() if r["rank"] == 1}
+    # the query's own vector is always in its probed cell → rank 1, cos 1
+    for qid, r in got.items():
+        assert r["vec_id"] == qid
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # recall vs brute force: probing 3/8 cells should still find most of top-5
+    brute = similarity.cosine_topk(embs, qv, k=5)
+    b = {(r["qid"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in out.collect()}
+    assert len(a & b) / len(b) >= 0.5
