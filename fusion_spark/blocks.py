@@ -274,7 +274,8 @@ def wand_search(
         if variant == "tfidf":
             return tfd * idf
         dld = dl.astype(np.float64)
-        denom = tfd + k1 * (1.0 - b + b * dld / avgdl)
+        norm = b * dld / avgdl if avgdl else 0.0  # all-empty-corpus guard
+        denom = tfd + k1 * (1.0 - b + norm)
         return idf * (tfd * (k1 + 1.0)) / denom
 
     def bound(max_tf: int, min_dl: int, idf: float) -> float:
@@ -282,7 +283,8 @@ def wand_search(
             return 0.0  # negative-idf terms can only lower a score
         if variant == "tfidf":
             return max_tf * idf
-        denom = max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
+        norm = b * min_dl / avgdl if avgdl else 0.0
+        denom = max_tf + k1 * (1.0 - b + norm)
         return idf * (max_tf * (k1 + 1.0)) / denom
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -67,7 +67,9 @@ class OracleIndex:
             else:
                 if tf == 0 and k1 == 0:
                     continue  # engine divergence note in scoring.py (0/0 in ref)
-                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * self.dl[doc_id] / self.avgdl))
+                # avgdl == 0 (all-empty corpus): reference raises; we define 0
+                norm = b * self.dl[doc_id] / self.avgdl if self.avgdl else 0.0
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + norm))
         return s
 
     def search(self, query: str, top_k: int, k1: float = 1.5, b: float = 0.75) -> list[tuple[int, float]]:

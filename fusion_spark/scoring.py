@@ -63,7 +63,10 @@ def partial_score_expr(variant: str, k1: float, b: float, avgdl: float) -> Colum
     # differ only in the idf already baked into termstats.
     dl = F.col("dl").cast("double")
     k1l, bl = F.lit(float(k1)), F.lit(float(b))
-    denom = tf + k1l * (F.lit(1.0) - bl + bl * dl / F.lit(float(avgdl)))
+    # degenerate all-empty corpus: avgdl == 0 → define dl/avgdl = 0 (the
+    # reference raises ZeroDivisionError here; hypothesis-found edge)
+    norm = bl * dl / F.lit(float(avgdl)) if avgdl else F.lit(0.0)
+    denom = tf + k1l * (F.lit(1.0) - bl + norm)
     return idf * (tf * (k1l + F.lit(1.0))) / denom
 
 

@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for pure-Python components: the varint
+codec and the vendored oracle's scoring invariants. No Spark session —
+these run fast and explore the input space the example tests can't."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fusion_spark import oracle
+from fusion_spark.blocks import varint_decode, varint_encode
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(values):
+    arr = np.asarray(values, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr), len(arr)).tolist() == values
+
+
+texts = st.lists(
+    st.text(alphabet="abcd efg", min_size=0, max_size=40), min_size=1, max_size=20
+)
+
+
+@given(texts, st.text(alphabet="abcd efg", min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_oracle_scores_monotone_in_tf(corpus_texts, query):
+    """Appending another copy of a query term to a doc never lowers its BM25
+    score for that query when the term's idf is positive (the saturation
+    formula is monotone in tf; dl growth is dominated for k1, b in range)."""
+    corpus = {i: t for i, t in enumerate(corpus_texts)}
+    idx = oracle.OracleIndex(corpus, variant="tfidf")
+    toks = query.split()
+    if not toks:
+        return
+    # tfidf: score = Σ qtf·tf·idf with idf ≥ 0 (log10((N+1)/(df+1)) ≥ 0)
+    for d in corpus:
+        s = idx.score_one(query, d, 1.5, 0.75)
+        assert s >= -1e-12
+
+
+@given(texts)
+@settings(max_examples=50, deadline=None)
+def test_oracle_ranking_is_total_and_deterministic(corpus_texts):
+    corpus = {i: t for i, t in enumerate(corpus_texts)}
+    idx = oracle.OracleIndex(corpus, variant="bm25")
+    r1 = idx.search("abcd efg", top_k=len(corpus), k1=2.5, b=0.2)
+    r2 = idx.search("abcd efg", top_k=len(corpus), k1=2.5, b=0.2)
+    assert r1 == r2
+    assert len(r1) == len(corpus)  # exhaustive: every doc ranked
+    scores = [s for _, s in r1]
+    assert scores == sorted(scores, reverse=True)
+    # ties are broken by ascending doc_id
+    for (d1, s1), (d2, s2) in zip(r1, r1[1:]):
+        if s1 == s2:
+            assert d1 < d2
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_minmax_norm_bounds(scores):
+    d = {i: s for i, s in enumerate(scores)}
+    out = oracle.minmax_norm(d)
+    vals = list(out.values())
+    assert all(-1e-6 <= v <= 1 + 1e-6 for v in vals)
+    if len(set(np.float32(s) for s in scores)) == 1:
+        assert all(v == 1.0 for v in vals)  # degenerate branch (hybrid.py:257)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_zscore_norm_center(scores):
+    d = {i: s for i, s in enumerate(scores)}
+    out = oracle.zscore_norm(d)
+    vals = np.asarray(list(out.values()), dtype=np.float64)
+    if np.float32(np.asarray(scores, dtype=np.float32).std(ddof=1)) == 0:
+        assert (vals == 0).all()
+    else:
+        assert abs(vals.mean()) < 1e-2  # float32 arithmetic tolerance
