@@ -144,8 +144,15 @@ def fuse(
     """Aggregator.fuse (hybrid.py:170-220) over a relational
     (system, qid, doc_id, score, rank) input. The reference's
     `final_results[:return_topk]` slices *queries* (a documented no-op,
-    hybrid.py:220); ours applies the intended per-query top-k."""
-    df = score_lists
+    hybrid.py:220); ours applies the intended per-query top-k.
+
+    Shuffle plan: one upfront repartition by qid. HashPartitioning(qid)
+    satisfies ClusteredDistribution for the (system, qid) normalization
+    windows, the (qid, doc_id) fusion aggregate, AND the final per-qid rank
+    window (subset rule) — so the whole fuse pipeline runs with a single
+    exchange instead of three (verified via .explain: 3 exchanges → 1).
+    Per-qid skew is bounded by |systems| × list length."""
+    df = score_lists.repartition("qid")
     if method == "bcf":
         df = borda_count(df)
     elif method == "rrf":
