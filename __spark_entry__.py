@@ -14,7 +14,11 @@ is stable across engines' float summation orders.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fusion_spark importable from any CWD
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
