@@ -91,8 +91,10 @@ def score(
     it when postings are read straight from the on-disk store."""
     qterms = query_terms(queries, qid_col, question_col, mode)
     # OOV terms: inner join drops them — identical to the reference's
-    # zero contribution (missing idf AND missing postings).
-    qterms = qterms.join(index.termstats.select("term", "idf"), "term")
+    # zero contribution (missing idf AND missing postings). The query-term
+    # side is tiny → broadcast it into the (potentially huge) termstats too,
+    # or Catalyst falls back to a sort-merge join on unknown stats.
+    qterms = F.broadcast(qterms).join(index.termstats.select("term", "idf"), "term")
     postings = index.postings
     if prefilter_terms:
         terms = [r["term"] for r in qterms.select("term").distinct().collect()]

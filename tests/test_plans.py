@@ -1,0 +1,54 @@
+"""Physical-plan regression guards: the scale properties documented in
+docs/PLANS.md must hold in the emitted plans, not just in prose."""
+
+import contextlib
+import io
+
+from fusion_spark.indexing import build_index
+from fusion_spark.scoring import search
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_parquet_scan_prunes_columns(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, doc_id_col="doc_id", text_col="text")
+    plan = _plan(idx.postings)
+    assert "ReadSchema" in plan
+    # only the two needed columns reach the scan — not lang/source/n_chars
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("doc_id" in ln and "text" in ln for ln in read_schema_lines)
+    assert not any("n_chars" in ln or "source" in ln for ln in read_schema_lines)
+
+
+def test_search_plan_broadcast_and_group_limit(spark, docs_df):
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qs = spark.createDataFrame([(1, "def return import")], "qid long, question string")
+    plan = _plan(search(idx, qs, k=10, k1=2.5, b=0.2))
+    assert "BroadcastHashJoin" in plan  # query terms broadcast into postings
+    assert "WindowGroupLimit" in plan  # per-partition top-k before the merge
+    assert "SortMergeJoin" not in plan  # the corpus side must never sort-merge
+
+
+def test_fuse_single_exchange(spark, query_rows):
+    from fusion_spark import fusion as fz
+    from fusion_spark import synth
+
+    rows = synth.make_score_lists(query_rows, n_docs=64)
+    fused = fz.fuse(
+        spark.createDataFrame(rows), method="nsf", normalization="z-score",
+        weights={"bm25": 0.4, "dense": 0.3, "sparse": 0.3}, return_topk=10,
+    )
+    plan = _plan(fused)
+    # exactly one exchange: the upfront repartition(qid); windows + aggregate
+    # reuse its partitioning (subset rule)
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(")
+        and "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exchanges == 1, plan
