@@ -417,13 +417,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
         return out.withColumn("pos", F.col("pos").cast("long"))
 
-    # ---- rows-only (non-SQL-expressible; driver records weaker check) ----
     def simhash_dedup(spark, sf_dir):
         return dedup.simhash(_docs(spark, sf_dir))
 
     def doc_fingerprint(spark, sf_dir):
-        return textstats.fingerprint(_docs(spark, sf_dir))
+        # arrays exploded to scalar rows: the driver canonicalizer factorizes
+        # column values and cannot hash list cells
+        fp = textstats.fingerprint(_docs(spark, sf_dir))
+        return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
+    # ---- rows-only (driver records weaker check; see oracle_sql docstring) ----
     def ivf_cosine_topk(spark, sf_dir):
         embs = _embs(spark, sf_dir)
         qv = embs.filter("vec_id < 3").select(
@@ -452,7 +455,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(64).cast("long").alias("meta_height"),
             (F.pmod("doc_id", F.lit(5)) * 1000).cast("long").alias("meta_duration_ms"),
         )
-        return multimodal.extract_features(media, dim=8)
+        feats = multimodal.extract_features(media, dim=8)
+        return feats.select(
+            "media_id", "kind", "n_bytes", F.posexplode("feature").alias("dim_idx", "value")
+        ).select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            # byte/256 is exact in float32 AND float64 → lossless cast
+            F.col("value").cast("double").alias("value"),
+        )
 
     return {
         "postings_build": postings_build,
@@ -821,6 +834,51 @@ SELECT doc_id, n_tokens,
   round(length_ok * (1.0 - punct_ratio) * (1.0 - digit_ratio)
         * (0.5 + 0.5 * least(stopword_ratio * 5, 1.0)), 6) AS quality
 FROM m
+""",
+        "doc_fingerprint": f"""
+WITH {_SQL_TOKS},
+kg AS (
+  SELECT doc_id, pos,
+         substr(md5(concat_ws(' ', tokens[pos], tokens[pos+1], tokens[pos+2], tokens[pos+3])), 1, 15) AS h
+  FROM (SELECT doc_id, tokens, unnest(range(1, greatest(len(tokens) - 3, 0) + 1)) AS pos FROM toks)
+),
+wm AS (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c,
+    count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM kg
+)
+SELECT DISTINCT doc_id, m AS fingerprint FROM wm WHERE c = least(4, nh)
+""",
+        "simhash_dedup": f"""
+WITH {_SQL_TOKS},
+tokstream AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+bits AS (
+  SELECT doc_id, i,
+    CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 15 - (i // 4), 1)) - 1) >> (i % 4)) & 1 = 1
+         THEN 1 ELSE -1 END AS s
+  FROM tokstream CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+),
+acc AS (SELECT doc_id, i, sum(s) AS a FROM bits GROUP BY doc_id, i),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN a > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM acc GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM toks t LEFT JOIN sim s ON t.doc_id = s.doc_id
+""",
+        "multimodal_features": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+         sha256(md5(text)) AS sh
+  FROM documents
+)
+SELECT media_id, kind, 16::BIGINT AS n_bytes, i AS dim_idx,
+  (((strpos('0123456789abcdef', substr(sh, 2*i+1, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(sh, 2*i+2, 1)) - 1)) / 256.0) AS value
+FROM media CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
 """,
         "lang_id": f"""
 WITH {_SQL_TOKS},

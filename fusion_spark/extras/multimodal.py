@@ -46,10 +46,14 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    # Deterministic stand-in for a decoded feature vector: sha256 bytes → [0,1)
-    h = hashlib.sha256(payload).digest()
-    return [h[i] / 255.0 for i in range(dim)]
+def _fake_feature(payload_hex: str, dim: int = 8) -> list[float]:
+    # Deterministic stand-in for a decoded feature vector: sha256 of the hex
+    # payload string → byte[i]/256. byte/256 needs ≤8 mantissa bits, so the
+    # value is exactly representable in BOTH float32 and float64 — the fake
+    # feature is bit-identical across engines (no float-rounding ambiguity
+    # in cross-engine checks).
+    h = hashlib.sha256(payload_hex.encode()).digest()
+    return [h[i] / 256.0 for i in range(dim)]
 
 
 def extract_features(
@@ -65,13 +69,15 @@ def extract_features(
                 raise NotImplementedError(
                     "real media decode requires PIL/librosa/ffmpeg — not in this container"
                 )
-            payloads = pdf["payload"].fillna("").map(lambda s: bytes.fromhex(s) if s else b"")
+            payload_hex = pdf["payload"].fillna("")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len),
-                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
+                    # decoded-payload size (hex → bytes); the feature hash
+                    # runs on the hex string itself (see _fake_feature)
+                    "n_bytes": payload_hex.map(lambda s: len(s) // 2),
+                    "feature": payload_hex.map(lambda s: _fake_feature(s, dim)),
                 }
             )
 

@@ -7,10 +7,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, StringType
 
 from fusion_spark.tokenize import tokenize
 
@@ -118,27 +119,41 @@ def fingerprint(
     window: int = 4,
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
-    token k-grams, slide a window of `window` hashes, keep each window's min
-    (rightmost on ties) — the classic near-dup/plagiarism sketch. Arrow UDF;
-    output (doc_id, fingerprints sorted array<long>)."""
+    token k-grams, slide a window of `window` hashes, keep each window's min —
+    the classic near-dup/plagiarism sketch. Arrow UDF; output
+    (doc_id, fingerprints sorted array<string>).
+
+    The hash universe is the first 15 hex chars of md5(kgram) — fixed-width
+    hex, so lexicographic order equals the numeric order of the 60-bit value
+    (engine-portable: the same min-over-window is expressible in ANSI SQL).
+    Window minima are computed with a numpy sliding-window view; the only
+    per-element Python is the md5 call itself (batch-deduped)."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
 
-    @F.pandas_udf(ArrayType(LongType()))
+    @F.pandas_udf(ArrayType(StringType()))
     def winnow(tok: pd.Series) -> pd.Series:
-        def fp(ts) -> list[int]:
+        cache: dict[str, int] = {}
+
+        def h60(kg: str) -> int:
+            v = cache.get(kg)
+            if v is None:
+                v = int(hashlib.md5(kg.encode()).hexdigest()[:15], 16)
+                cache[kg] = v
+            return v
+
+        def fp(ts) -> list[str]:
             ts = list(ts)
-            if len(ts) < kgram:
+            n = len(ts) - kgram + 1
+            if n <= 0:
                 return []
-            hashes = [
-                int(hashlib.md5(" ".join(ts[i : i + kgram]).encode()).hexdigest()[:15], 16)
-                for i in range(len(ts) - kgram + 1)
-            ]
-            sel = set()
-            for i in range(max(len(hashes) - window + 1, 1)):
-                win = hashes[i : i + window]
-                m = min(win)
-                sel.add(m)
-            return sorted(sel)
+            hs = np.fromiter(
+                (h60(" ".join(ts[i : i + kgram])) for i in range(n)), dtype=np.int64, count=n
+            )
+            if n <= window:
+                mins = hs.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            return [format(v, "015x") for v in np.unique(mins)]
 
         return tok.map(fp)
 
