@@ -183,6 +183,46 @@ qrels AS (
 )
 """
 
+def _near_dups_sql(min_cosine: float = 0.4, n_bands: int = 8, band_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB mirror of similarity.cosine_near_dups(method='lsh'): the same
+    deterministic md5 hyperplanes are inlined as literal arrays, banding and
+    exact-cosine verification reproduced in ANSI SQL — the oracle checks the
+    full declared (LSH-candidate ∩ threshold) semantics, like lsh_candidates
+    does for MinHash banding."""
+    from fusion_spark.extras.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bands * band_planes)
+
+    def key(b: int) -> str:
+        parts = []
+        for j in range(band_planes):
+            lit = "[" + ", ".join(repr(v) for v in planes[b * band_planes + j]) + "]"
+            parts.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(parts)
+
+    keys = ",\n    ".join(f"({key(b)})" for b in range(n_bands))
+    return f"""
+WITH keys AS (SELECT vec_id, embedding, [{keys}] AS ks FROM embeddings),
+banded AS (
+  SELECT vec_id, band, ks[band + 1] AS band_key
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 5) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.vec_a
+JOIN embeddings eb ON eb.vec_id = cand.vec_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {min_cosine}
+"""
+
+
 _SQL_SHINGLES = r"""
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -395,7 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def embedding_near_dups(spark, sf_dir):
-        out = similarity.cosine_near_dups(_embs(spark, sf_dir), min_cosine=0.4)
+        # default = banded-LSH candidates + exact verify (no cartesian node);
+        # the oracle reproduces the identical deterministic banding in SQL
+        out = similarity.cosine_near_dups(_embs(spark, sf_dir), min_cosine=0.4, dim=64)
         return _rounded(out, "cosine", 5)
 
     def events_windowed(spark, sf_dir):
@@ -616,12 +658,7 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
             weighted=True,
         ),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
-        "embedding_near_dups": """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-""",
+        "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
         "events_windowed": """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -172,31 +172,90 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_band_keys(
+    vec: Column, planes: list[list[float]], n_bands: int, band_planes: int
+) -> list[Column]:
+    """One packed-int key column per band: band b's key is the sign bits of
+    planes [b·r, (b+1)·r). Same deterministic md5 hyperplanes as
+    lsh_signature, grouped for banded (OR-amplified) candidate generation."""
+    keys = []
+    for b in range(n_bands):
+        k = F.lit(0)
+        for j in range(band_planes):
+            proj = _dot(vec, F.array(*[F.lit(v) for v in planes[b * band_planes + j]]))
+            k = k + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(k.cast("int"))
+    return keys
+
+
 def cosine_near_dups(
     embeddings: DataFrame,
     min_cosine: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    n_bands: int = 8,
+    band_planes: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
     buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) with
-    vec_a < vec_b and cosine ≥ min_cosine. Brute-force all-pairs at test
-    scale; at corpus scale pass `buckets` (vec_id, bucket) — e.g. from
-    lsh_signature — to restrict the self-join to same-bucket pairs."""
+    vec_a < vec_b and cosine ≥ min_cosine.
+
+    method="lsh" (default, the scale path): banded random-hyperplane LSH —
+    each vector gets n_bands keys (band_planes sign bits each); candidate
+    pairs share ≥1 band key (equi-join on (band, band_key) — NO cartesian
+    node in the plan, bounded by bucket sizes); candidates are then verified
+    with the exact cosine. Declared semantics are LSH-candidate ∩ threshold:
+    recall < 1 for pairs barely above the threshold (hyperplane collision
+    prob (1 − θ/π)^band_planes per band), → 1 for true near-duplicates. The
+    banding is deterministic (md5 hyperplanes), so results are reproducible
+    across engines/runs.
+
+    method="exact": brute-force all-pairs self-join — the small-N verifier
+    (this IS a cartesian; never the default). Optional `buckets`
+    (vec_id, bucket) restricts the exact join to same-bucket pairs for
+    caller-supplied blocking."""
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    if buckets is not None:
-        e = e.join(buckets, "vec_id")
-    a, b = e.alias("a"), e.alias("b")
-    cond = F.col("a.vec_id") < F.col("b.vec_id")
-    if buckets is not None:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    pairs = a.join(b, cond).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        (
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
-        ).alias("cosine"),
+    cos = lambda va, vb: (_dot(va, vb) / (_norm(va) * _norm(vb)))  # noqa: E731
+    if method == "exact":
+        if buckets is not None:
+            e = e.join(buckets, "vec_id")
+        a, b = e.alias("a"), e.alias("b")
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+        if buckets is not None:
+            cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+        pairs = a.join(b, cond).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        return pairs.filter(F.col("cosine") >= min_cosine)
+    if method != "lsh":
+        raise ValueError(f"unknown near-dup method {method}")
+    if dim is None:
+        dim = len(e.select("vec").first()[0])
+    planes = _hyperplanes(dim, n_bands * band_planes, seed)
+    keys = lsh_band_keys(F.col("vec"), planes, n_bands, band_planes)
+    banded = e.select("vec_id", F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= min_cosine)
 

@@ -112,6 +112,26 @@ def test_lsh_cosine_subset_of_bruteforce_bucket(spark):
         assert r["vec_id"] == qid and r["cosine"] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_near_dups_lsh_subset_of_exact_and_full_recall_on_dups(spark):
+    # 30 base vectors + 5 exact duplicates (cosine 1.0 pairs)
+    rows = [(i, [math.sin(i * 0.9 + j * 0.4) for j in range(16)]) for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dups(embs, 0.5, method="exact").collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_dups(embs, 0.5, dim=16).collect()
+    }
+    # LSH candidates verified exactly → always a subset of the exact result
+    assert lsh <= exact
+    # identical vectors share every band key → true duplicates always recalled
+    for i in range(5):
+        assert (i, 100 + i) in lsh
+
+
 def test_token_stats_and_quality(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox! 42 times."), (2, ""), (3, "a b c d e f g h i j k")],

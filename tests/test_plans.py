@@ -35,6 +35,23 @@ def test_search_plan_broadcast_and_group_limit(spark, docs_df):
     assert "SortMergeJoin" not in plan  # the corpus side must never sort-merge
 
 
+def test_near_dups_default_has_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from fusion_spark.extras import similarity
+
+    rows = [(i, [float((i * 13 + j * 5) % 17 - 8) for j in range(16)]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_near_dups(embs, min_cosine=0.5, dim=16)
+    plan = _plan(out)
+    # the scale contract: candidate generation is an equi-join on band keys,
+    # never an all-pairs cartesian (VERDICT r1 §wrong-2)
+    assert "CartesianProduct" not in plan, plan
+    # the exact small-N verifier is allowed to be brute force
+    exact_plan = _plan(similarity.cosine_near_dups(embs, min_cosine=0.5, method="exact"))
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
 def test_fuse_single_exchange(spark, query_rows):
     from fusion_spark import fusion as fz
     from fusion_spark import synth
