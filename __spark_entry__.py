@@ -3,9 +3,12 @@
 `entry(spark)` runs the flagship BM25 top-k on sf0.001.
 `queries()` exposes every implemented operator from SURVEY.md §2 (plus the
 training-data-pipeline extras) as (spark, sf_dir) → DataFrame callables.
-`oracle_sql()` gives the DuckDB-equivalent ANSI SQL for each SQL-expressible
-entry; non-SQL ops (simhash, winnowing fingerprint, LSH-ANN, multimodal
-plumbing) are rows-only checks by design.
+`oracle_sql()` gives the DuckDB-equivalent ANSI SQL for each entry — including
+the hash-universe ops (simhash, winnowing fingerprint via hex-nibble bit
+extraction), the LSH paths (deterministic md5 hyperplanes inlined as SQL
+literals), NCE (the 11 fixed Φ⁻¹ outputs as a VALUES lookup), and the
+multimodal stub. Only ivf_cosine_topk stays rows-only (distributed k-means
+training state is not reasonably SQL-expressible).
 
 Column-name/round contract: every computed column is aliased identically on
 both sides and doubles are rounded (6 dp) so the driver's value-hash compare
@@ -58,10 +61,16 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(QUERY_SET, "qid long, question string")
 
 
+def _session_key(spark: SparkSession) -> tuple:
+    # cached DataFrames die with their SparkSession; id(spark) can be REUSED
+    # by CPython after a stopped session is collected, so key by the
+    # context's applicationId + startTime (unique per live context)
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
+
+
 def _index(spark: SparkSession, sf_dir: str, variant: str):
-    # keyed by session too: cached DataFrames die with their SparkSession,
-    # and the driver may recreate sessions between query invocations
-    key = (id(spark), sf_dir, variant)
+    key = (_session_key(spark), sf_dir, variant)
     if key not in _INDEX_CACHE:
         idx = build_index(_docs(spark, sf_dir), doc_id_col="doc_id", text_col="text", variant=variant)
         idx.persist()
@@ -223,6 +232,50 @@ WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 
 """
 
 
+def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64, n_queries: int = 3) -> str:
+    """DuckDB mirror of similarity.lsh_cosine_topk: identical deterministic
+    md5 hyperplanes inlined as literals; same-signature bucket join + exact
+    cosine + (cosine DESC, vec_id ASC) top-k."""
+    from fusion_spark.extras.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    sig = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in plane)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qvec, sig FROM sigs WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.qid AS qid, s.vec_id AS vec_id,
+         list_cosine_similarity(q.qvec::DOUBLE[], s.embedding::DOUBLE[]) AS cosine
+  FROM q JOIN sigs s ON q.sig = s.sig
+)
+SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _nce_values(distribution_len: int = 11) -> list[float]:
+    """The 11 possible normal-curve-equivalent outputs for the fixed driver
+    distribution — computed with the IDENTICAL float64 ops as the engine UDF
+    (fusion.make_percentile_udf nce branch): idx/len → /100-quirk → Φ⁻¹ →
+    ·21.06 + 50."""
+    import numpy as np
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    p = np.arange(distribution_len) / float(distribution_len)
+    vals = np.asarray(
+        [nd.inv_cdf(min(max(x / 100, 1e-12), 1 - 1e-12)) for x in p]
+    ) * 21.06 + 50
+    return vals.tolist()
+
+
 _SQL_SHINGLES = r"""
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -290,7 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from fusion_spark.blocks import PackedIndex, wand_search
         from fusion_spark.scoring import top_k as _top_k
 
-        key = (id(spark), sf_dir, "packed")
+        key = (_session_key(spark), sf_dir, "packed")
         if key not in _INDEX_CACHE:
             p = PackedIndex.from_index(_index(spark, sf_dir, "bm25"), segment_size=1 << 12)
             p.blocks.persist()
@@ -340,7 +393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     return_topk=10)
         )
 
-    def fusion_nsf_nce(spark, sf_dir):  # rows-only: Φ⁻¹ not in DuckDB
+    def fusion_nsf_nce(spark, sf_dir):
+        # oracle: the 11 possible Φ⁻¹ outputs for the fixed distribution are
+        # precomputed (same float64 ops as the UDF) and inlined as a VALUES
+        # lookup table — see _nce_values
         return _rounded(
             fz.fuse(_legs(spark, sf_dir), method="nsf",
                     normalization="normal-curve-equivalent",
@@ -459,6 +515,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
         return out.withColumn("pos", F.col("pos").cast("long"))
 
+    def bm25_grid_small(spark, sf_dir):
+        """T1 flagship workflow (reference bm25.py:215-246) driver-gated on a
+        2×2 (k1, b) grid: one cached index, per-combo re-scoring, recall@10.
+        score_round=6 = the cross-engine tie contract."""
+        from fusion_spark.tuning import bm25_grid
+
+        idx = _index(spark, sf_dir, "bm25")
+        grid = bm25_grid(
+            idx, _queries_df(spark), _qrels(spark, sf_dir),
+            k1_values=[1.5, 2.5], b_values=[0.2, 0.75],
+            top_k=20, recall_k=(10,), score_round=6,
+        )
+        return grid.select(
+            F.round("k1", 2).alias("k1"),
+            F.round("b", 2).alias("b"),
+            F.round("recall_10", 6).alias("recall_10"),
+        )
+
+    def nsf_weight_grid_small(spark, sf_dir):
+        """F13 (reference hybrid.py:404-426) driver-gated: step-0.5 weight
+        simplex over (bm25, tfidf) legs, min-max NSF, recall@10 per combo."""
+        from fusion_spark.tuning import nsf_weight_grid
+
+        grid = nsf_weight_grid(
+            _legs(spark, sf_dir), _qrels(spark, sf_dir),
+            normalization="min-max", step=0.5, return_topk=20, recall_k=(10,),
+        )
+        return grid.select(
+            F.round("weight_bm25", 2).alias("weight_bm25"),
+            F.round("weight_tfidf", 2).alias("weight_tfidf"),
+            F.round("recall_10", 6).alias("recall_10"),
+        )
+
+    def index_lineage(spark, sf_dir):
+        """North-rule artifact: per-bucket checkpoint lineage of the
+        resumable build (wall_sec excluded — nondeterministic)."""
+        import tempfile
+
+        from fusion_spark.indexing import build_index_resumable, lineage
+
+        d = tempfile.mkdtemp(prefix="lineage_")
+        build_index_resumable(spark, _docs(spark, sf_dir), d, n_buckets=8)
+        return lineage(spark, d).select(
+            "bucket", "status", "n_docs", "n_postings", "variant", "mode"
+        )
+
     def simhash_dedup(spark, sf_dir):
         return dedup.simhash(_docs(spark, sf_dir))
 
@@ -545,6 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "reference_tokenize": reference_tokenize,
         "code_tokenize": code_tokenize,
+        "bm25_grid_small": bm25_grid_small,
+        "nsf_weight_grid_small": nsf_weight_grid_small,
+        "index_lineage": index_lineage,
         "simhash_dedup": simhash_dedup,
         "doc_fingerprint": doc_fingerprint,
         "ivf_cosine_topk": ivf_cosine_topk,
@@ -657,6 +762,20 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
                ) WHERE rn = 1""",
             weighted=True,
         ),
+        "fusion_nsf_nce": fused(
+            f"""SELECT qid, doc_id, n.v AS tscore FROM (
+                 SELECT qid, doc_id, i,
+                        row_number() OVER (PARTITION BY system, qid, doc_id
+                                           ORDER BY abs(d - score) ASC, i ASC) AS rn
+                 FROM legs CROSS JOIN (
+                   SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
+                 )
+               ) t JOIN (VALUES {", ".join(f"({i}, {v!r}::DOUBLE)" for i, v in enumerate(_nce_values()))})
+                 AS n(i, v) USING (i)
+               WHERE rn = 1""",
+            weighted=True,
+        ),
+        "lsh_cosine_topk": _lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
         "events_windowed": """

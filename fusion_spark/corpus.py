@@ -3,11 +3,11 @@ canonical (doc_id, text) shape.
 
   * title-concat (S4, /root/reference/src/data/lleqa.py:85-88): prepend
     `description + " | "` to the article when the description is non-empty.
-  * deterministic doc_id assignment: row_number() over (repo, path, commit)
-    — defines the corpus insertion order the tie-break contract depends on
-    (bm25.py:105-106,207). NB row_number over a global order is a single-
-    partition sort at scale; for 10^12 rows use a precomputed id column or
-    zipWithIndex-style block ids — this helper is the semantic reference.
+  * deterministic doc_id assignment over (repo, path, commit) — defines the
+    corpus insertion order the tie-break contract depends on
+    (bm25.py:105-106,207). The production path is parallel (range-partition
+    sort + per-partition offsets); the global row_number window is kept as
+    `assign_doc_ids_window`, the semantic test oracle.
   * content sha256 derivation (input_hint per-row invariant).
   * one-to-many → one-to-one qrels explode with seeded shuffle (T3,
     lleqa.py:90-100) — test-data shaping.
@@ -35,7 +35,67 @@ def title_concat(
     )
 
 
-def assign_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols=("repo", "path", "commit"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense 0..N−1 doc_id by global (order_cols) order —
+    the id the whole tie-break contract hangs on (reference
+    bm25.py:105-106,207) — WITHOUT a single-task global sort:
+
+      1. repartitionByRange(order_cols) + sortWithinPartitions — parallel
+         range sort (each partition holds a contiguous key range),
+      2. per-partition row counts collected once (num_partitions scalars),
+      3. doc_id = partition offset + local position, stamped by an Arrow
+         mapInPandas pass (batches arrive in partition sort order).
+
+    The input is persisted so the count job and the stamping job see the
+    SAME range boundaries (repartitionByRange samples its bounds).
+    `order_cols` must be a unique key — duplicate keys would make ids
+    nondeterministic across runs. `assign_doc_ids_window` below is the
+    single-exchange semantic reference the tests compare against."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        [f for f in d.schema.fields if f.name != "_pid"] + [StructField("doc_id", LongType())]
+    )
+
+    def stamp(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(off + seen, off + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(stamp, schema=out_schema)
+
+
+def assign_doc_ids_window(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
+    """Semantic reference: global row_number window (single-task sort — test
+    oracle only, never the production path)."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("doc_id", F.row_number().over(w) - 1)
 

@@ -13,6 +13,11 @@ Preserved reference quirks (SURVEY.md §7):
   * min-max degenerate (min==max) → all ones (hybrid.py:257);
     z-score degenerate (std==0) → all zeros (hybrid.py:263).
   * z-score std is the torch default SAMPLE std (ddof=1) → `stddev_samp`.
+    DOCUMENTED DIVERGENCE: on a single-element group torch.std(ddof=1) is
+    NaN and NaN != 0 passes the reference's zero-gate, so reference scores
+    go NaN; we map the NULL stddev_samp to the all-zeros branch instead
+    (a NaN fused score is useless downstream). Same choice encoded in the
+    test oracle (oracle.py).
   * percentile-rank: nearest quantile index (first on ties) / len(distr);
     normal-curve-equivalent applies Φ⁻¹(p/100)·21.06+50 including the /100
     quirk (hybrid.py:271-278).
@@ -116,9 +121,17 @@ def percentile_normalize(
 
 def weight_scores(df: DataFrame, weights: dict[str, float]) -> DataFrame:
     """Per-system convex-combination weights (hybrid.py:282-291) via a
-    broadcast map literal — no join, stays in codegen."""
+    broadcast map literal — no join, stays in codegen. A system missing from
+    `weights` fails LOUDLY at evaluation time (the reference raises KeyError,
+    hybrid.py:289; a silent NULL would drop that system's contribution) —
+    raise_error costs no extra job, unlike a distinct-collect validation."""
     mapping = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
-    return df.withColumn("score", F.col("score") * mapping[F.col("system")])
+    w = mapping[F.col("system")]
+    checked = F.when(
+        w.isNull(),
+        F.raise_error(F.concat(F.lit("missing fusion weight for system: "), F.col("system"))),
+    ).otherwise(w)
+    return df.withColumn("score", F.col("score") * checked)
 
 
 def aggregate_scores(df: DataFrame, return_topk: int | None = None) -> DataFrame:

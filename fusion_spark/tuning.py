@@ -17,11 +17,14 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fusion_spark import fusion as fz
 from fusion_spark.indexing import BM25Index
 from fusion_spark.metrics import compute_all_metrics
+from fusion_spark.scoring import score as _score
 from fusion_spark.scoring import search
+from fusion_spark.scoring import top_k as _top_k
 
 
 def bm25_grid(
@@ -32,7 +35,12 @@ def bm25_grid(
     b_values=None,
     top_k: int = 1000,
     recall_k=(10, 100, 200, 500, 1000),
+    score_round: int | None = None,
 ) -> DataFrame:
+    """`score_round` rounds scores to that many dp BEFORE ranking — the
+    cross-engine tie contract for driver-gated runs (one-ulp summation-order
+    differences must not flip a rank against the SQL oracle); None (default)
+    ranks raw scores like the reference."""
     spark = queries.sparkSession
     if k1_values is None:
         k1_values = [x * 0.5 for x in range(17)]  # 0 .. 8
@@ -41,7 +49,13 @@ def bm25_grid(
     index.persist()
     rows = []
     for k1, b in itertools.product(k1_values, b_values):
-        ranked = search(index, queries, k=top_k, k1=k1, b=b)
+        if score_round is None:
+            ranked = search(index, queries, k=top_k, k1=k1, b=b)
+        else:
+            sc = _score(index, queries, k1=k1, b=b).withColumn(
+                "score", F.round("score", score_round)
+            )
+            ranked = _top_k(sc, top_k)
         scores = compute_all_metrics(
             ranked.select("qid", "doc_id", "rank"), qrels,
             recall_k=recall_k, map_k=(), mrr_k=(), ndcg_k=(),

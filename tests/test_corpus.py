@@ -25,6 +25,24 @@ def test_assign_doc_ids_order(spark):
     assert got[("a", "x")] == 0 and got[("a", "z")] == 1 and got[("b", "y")] == 2
 
 
+def test_assign_doc_ids_parallel_matches_window_oracle(spark):
+    from fusion_spark.corpus import assign_doc_ids_window
+
+    # 1000 rows, shuffled insertion order, multi-partition input
+    rows = [(f"repo{(i * 37) % 11}", f"p/{(i * 73) % 997:04d}", f"c{i:05d}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string").repartition(13)
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids(df, num_partitions=7).collect()
+    }
+    want = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in assign_doc_ids_window(df).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1000))  # dense 0..N-1
+
+
 def test_with_sha256(spark):
     import hashlib
 

@@ -146,3 +146,20 @@ def test_score_distribution_builder(spark):
     out2 = fusion.score_distribution(spark.createDataFrame(rows_nz), n_points=4).collect()
     q2 = out2[0]["quantiles"]
     assert q2[0] == pytest.approx(3.0) and q2[-1] == pytest.approx(10.0)
+
+
+def test_missing_weight_fails_loudly(spark):
+    import pytest as _pytest
+
+    rows = [
+        {"system": "a", "qid": 1, "doc_id": 1, "score": 1.0, "rank": 1},
+        {"system": "b", "qid": 1, "doc_id": 1, "score": 1.0, "rank": 1},
+    ]
+    fused = fusion.fuse(
+        spark.createDataFrame(rows), method="nsf", normalization=None,
+        weights={"a": 1.0}, return_topk=None,  # system b has no weight
+    )
+    # reference parity: Aggregator.fuse raises KeyError (hybrid.py:289) — a
+    # silent NULL would drop system b's contribution from the fused sum
+    with _pytest.raises(Exception, match="missing fusion weight"):
+        fused.collect()
