@@ -687,6 +687,59 @@ legs AS (
 )
 """
 
+    def _recall_block(i: str, ranked_cte: str, k: int = 10) -> str:
+        """Per-qid recall@k of ranked list `ranked_cte` vs qrels, averaged in
+        the final SELECT (queries with zero hits contribute 0 via the left
+        join — the reference's unweighted mean over all gt queries)."""
+        return f"""
+rec{i} AS (
+  SELECT g.qid AS qid, g.n_gt AS n_gt,
+         coalesce(sum(CASE WHEN h.rank <= {k} THEN 1 END), 0) * 1.0 / g.n_gt AS rec
+  FROM gtsize g LEFT JOIN (
+    SELECT r.qid AS qid, r.rank AS rank
+    FROM {ranked_cte} r JOIN qrels ON r.qid = qrels.qid AND r.doc_id = qrels.doc_id
+  ) h ON g.qid = h.qid
+  GROUP BY g.qid, g.n_gt
+)"""
+
+    def _bm25_grid_sql(combos: list[tuple[float, float]]) -> str:
+        qt = r"""qt AS (
+  SELECT qid, term, count(*) AS qtf
+  FROM (SELECT qid, unnest(list_filter(string_split_regex(trim(lower(question)), '\s+'), x -> x <> '')) AS term FROM q)
+  GROUP BY qid, term
+)"""
+        blocks, selects = [], []
+        for i, (k1, b) in enumerate(combos):
+            partial = (
+                f"(post.tf * ({k1} + 1)) / "
+                f"(post.tf + {k1} * (1 - {b} + {b} * post.dl / corpus.avgdl))"
+            )
+            blocks.append(f"""
+s{i} AS (
+  SELECT qt.qid AS qid, post.doc_id AS doc_id, sum(qt.qtf * idf.idf * {partial}) AS score
+  FROM qt JOIN idf ON qt.term = idf.term JOIN post ON qt.term = post.term, corpus
+  GROUP BY qt.qid, post.doc_id
+),
+r{i} AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM s{i}
+),{_recall_block(str(i), f"r{i}")}""")
+            selects.append(
+                f"SELECT {k1}::DOUBLE AS k1, {b}::DOUBLE AS b, "
+                f"round((SELECT avg(rec) FROM rec{i}), 6) AS recall_10"
+            )
+        return f"""
+WITH {_SQL_TOKS},
+idf AS (SELECT ts.term, {_IDF["bm25"]} AS idf FROM ts, corpus),
+q(qid, question) AS (VALUES {_QS_VALUES}),
+{qt},
+{_SQL_QRELS.strip()},
+gtsize AS (SELECT qid, count(*) AS n_gt FROM qrels GROUP BY qid),
+{", ".join(blocks)}
+{" UNION ALL ".join(selects)}
+"""
+
     def fused(transform_sql: str, weighted: bool = False) -> str:
         w = "* 0.5" if weighted else ""
         return f"""{legs_sql},
@@ -724,6 +777,36 @@ SELECT qid, doc_id, round(score, 6) AS score, neg_rank FROM (
          row_number() OVER (PARTITION BY r.qid ORDER BY r.rank ASC) AS neg_rank
   FROM ranked20 r ANTI JOIN qrels ON r.qid = qrels.qid AND r.doc_id = qrels.doc_id
 ) WHERE neg_rank <= 5
+""",
+        "bm25_grid_small": _bm25_grid_sql([(1.5, 0.2), (1.5, 0.75), (2.5, 0.2), (2.5, 0.75)]),
+        "nsf_weight_grid_small": f"""{legs_sql},
+{_SQL_QRELS.strip()},
+gtsize AS (SELECT qid, count(*) AS n_gt FROM qrels GROUP BY qid),
+mmt AS (
+  SELECT qid, doc_id, system,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS tscore
+  FROM legs WINDOW w AS (PARTITION BY system, qid)
+),
+{", ".join(f'''
+a{j} AS (
+  SELECT qid, doc_id, sum(tscore * CASE system WHEN 'bm25' THEN {wb} ELSE {wt} END) AS score
+  FROM mmt GROUP BY qid, doc_id
+),
+r{j} AS (
+  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+  FROM a{j}
+),{_recall_block(str(j), f"r{j}")}''' for j, (wb, wt) in enumerate([(0.0, 1.0), (0.5, 0.5), (1.0, 0.0)]))}
+{" UNION ALL ".join(f"SELECT {wb}::DOUBLE AS weight_bm25, {wt}::DOUBLE AS weight_tfidf, round((SELECT avg(rec) FROM rec{j}), 6) AS recall_10" for j, (wb, wt) in enumerate([(0.0, 1.0), (0.5, 0.5), (1.0, 0.0)]))}
+""",
+        "index_lineage": f"""
+WITH {_SQL_TOKS},
+db AS (SELECT (doc_id % 8)::INT AS bucket, count(*) AS n_docs FROM documents GROUP BY 1),
+pb AS (SELECT (doc_id % 8)::INT AS bucket, count(*) AS n_postings FROM post GROUP BY 1)
+SELECT db.bucket AS bucket, 'ok' AS status, db.n_docs AS n_docs,
+       coalesce(pb.n_postings, 0) AS n_postings, 'bm25' AS variant, 'simple' AS mode
+FROM db LEFT JOIN pb ON db.bucket = pb.bucket
 """,
         "fusion_rrf": fused("SELECT qid, doc_id, 1.0/(60 + rank) AS tscore FROM legs"),
         "fusion_borda": fused(
