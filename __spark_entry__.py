@@ -426,11 +426,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ir_metrics(spark, sf_dir):
         preds = _ranked(spark, sf_dir, "bm25", k=20, k1=2.5, b=0.2).select("qid", "doc_id", "rank")
         per_q = metrics_per_query(
-            preds, _qrels(spark, sf_dir), recall_k=(5,), map_k=(10,), mrr_k=(10,), ndcg_k=(10,)
+            preds, _qrels(spark, sf_dir), recall_k=(5,), map_k=(10,), mrr_k=(10,),
+            ndcg_k=(10,), precision_k=(5,),
         )
         return per_q.select(
             "qid",
             F.round("`recall@5`", 6).alias("recall_5"),
+            F.round("`precision@5`", 6).alias("precision_5"),
             F.round("`mrr@10`", 6).alias("mrr_10"),
             F.round("`ndcg@10`", 6).alias("ndcg_10"),
             F.round("`map@10`", 6).alias("map_10"),
@@ -921,6 +923,7 @@ ranked AS (
 preds AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 20),
 {_SQL_QRELS.strip()},
 gtsize AS (SELECT qid, count(*) AS n_gt FROM qrels GROUP BY qid),
+nres AS (SELECT qid, count(*) AS n_res FROM preds GROUP BY qid),
 hits AS (
   SELECT p.qid AS qid, p.rank AS rank FROM preds p
   JOIN qrels r ON p.qid = r.qid AND p.doc_id = r.doc_id
@@ -944,11 +947,13 @@ ap AS (
 )
 SELECT b.qid AS qid,
   round(b.hits5 * 1.0 / b.n_gt, 6) AS recall_5,
+  round(CASE WHEN coalesce(nr.n_res, 0) > 0
+        THEN b.hits5 * 1.0 / least(5, nr.n_res) ELSE 0.0 END, 6) AS precision_5,
   round(b.mrr10, 6) AS mrr_10,
   round(b.dcg10 / (1 + coalesce(list_sum(list_transform(range(2, b.n_gt + 1), j -> 1.0/log2(j))), 0.0)), 6) AS ndcg_10,
   round(coalesce(ap.sum_p, 0.0) / b.n_gt, 6) AS map_10,
   round(b.hits_r * 1.0 / b.n_gt, 6) AS r_precision
-FROM base b LEFT JOIN ap ON b.qid = ap.qid
+FROM base b LEFT JOIN ap ON b.qid = ap.qid LEFT JOIN nres nr ON b.qid = nr.qid
 """,
         "exact_dedup": """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id

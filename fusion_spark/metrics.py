@@ -48,11 +48,22 @@ def metrics_per_query(
     map_k=(10, 100),
     mrr_k=(10, 100),
     ndcg_k=(10, 100),
+    precision_k=(),
 ) -> DataFrame:
-    """One row per qid with every configured metric (base for the means)."""
+    """One row per qid with every configured metric (base for the means).
+
+    precision_k defaults EMPTY for reference parity: Metrics.precision exists
+    (metrics.py:140-151) but compute_all_metrics never emits it — pass e.g.
+    precision_k=(5, 10) to enable the standalone metric. Denominator is the
+    reference's len(results[:k]) = min(k, |results|); a query with zero
+    predictions scores 0 (the reference would divide by zero there)."""
     gt_size, hits, n_res = _per_query(preds, qrels)
 
     aggs = []
+    for k in precision_k:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias(f"_hits@{k}")
+        )
     for k in recall_k:
         aggs.append(
             (F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)) / F.max("n_gt")).alias(
@@ -84,6 +95,17 @@ def metrics_per_query(
         .groupBy("qid")
         .agg(*aggs)
     )
+    if precision_k:
+        base = base.join(n_res, "qid", "left")
+        for k in precision_k:
+            base = base.withColumn(
+                f"precision@{k}",
+                F.when(
+                    F.coalesce(F.col("n_res"), F.lit(0)) > 0,
+                    F.col(f"_hits@{k}") / F.least(F.lit(k), F.col("n_res")),
+                ).otherwise(F.lit(0.0)),
+            ).drop(f"_hits@{k}")
+        base = base.drop("n_res")
 
     # MAP@k needs the cumulative-hit prefix: P@i at each hit rank i.
     for k in map_k:
@@ -163,9 +185,10 @@ def compute_all_metrics(
     map_k=(10, 100),
     mrr_k=(10, 100),
     ndcg_k=(10, 100),
+    precision_k=(),
 ) -> dict[str, float]:
     """Unweighted mean over queries (metrics.py:60-70) → {metric: value}."""
-    per_q = metrics_per_query(preds, qrels, recall_k, map_k, mrr_k, ndcg_k)
+    per_q = metrics_per_query(preds, qrels, recall_k, map_k, mrr_k, ndcg_k, precision_k)
     metric_cols = [c for c in per_q.columns if c != "qid"]
     row = per_q.agg(*[F.avg(F.col(f"`{c}`")).alias(c) for c in metric_cols]).collect()[0]
     return {c: float(row[c]) for c in metric_cols}

@@ -46,3 +46,33 @@ def test_metrics_handcomputed(spark):
     idcg = 1 + 1 / math.log2(2) + 1 / math.log2(3)
     assert got["ndcg@4"] == pytest.approx(dcg / idcg)
     assert got["r-precision"] == pytest.approx(2 / 3)  # top-3 has hits {2, 1}
+
+
+def test_precision_at_k_handcomputed(spark):
+    # gt = {1,2,3}; preds ranked [2, 9, 1, 8] → hits at ranks 1 and 3
+    preds = spark.createDataFrame(
+        [{"qid": 1, "doc_id": d, "rank": r} for r, d in enumerate([2, 9, 1, 8], start=1)]
+    )
+    qrels = spark.createDataFrame([{"qid": 1, "article_ids": [1, 2, 3]}])
+    got = compute_all_metrics(
+        preds, qrels, recall_k=(), map_k=(), mrr_k=(), ndcg_k=(), precision_k=(2, 4, 10)
+    )
+    assert got["precision@2"] == pytest.approx(1 / 2)
+    assert got["precision@4"] == pytest.approx(2 / 4)
+    # reference denominator is len(results[:k]) = min(k, |results|) = 4
+    assert got["precision@10"] == pytest.approx(2 / 4)
+
+
+def test_precision_at_k_no_preds_query(spark):
+    preds = spark.createDataFrame([{"qid": 1, "doc_id": 1, "rank": 1}])
+    qrels = spark.createDataFrame([{"qid": 1, "article_ids": [1]}, {"qid": 2, "article_ids": [5]}])
+    from fusion_spark.metrics import metrics_per_query
+
+    rows = {
+        r["qid"]: r
+        for r in metrics_per_query(
+            preds, qrels, recall_k=(), map_k=(), mrr_k=(), ndcg_k=(), precision_k=(5,)
+        ).collect()
+    }
+    assert rows[1]["precision@5"] == pytest.approx(1.0)  # 1 hit / min(5, 1 pred)
+    assert rows[2]["precision@5"] == 0.0  # zero predictions → 0
