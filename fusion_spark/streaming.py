@@ -101,6 +101,58 @@ def windowed_event_counts(
     return spark.table(name)
 
 
+def windowed_event_counts_watermarked(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> DataFrame:
+    """The SCALE path for the windowed aggregation: event-time watermark +
+    APPEND mode into a parquet file sink. Closed-window state is dropped
+    (bounded memory) and each finalized window is emitted exactly once —
+    unlike the memory-sink complete-mode demo above, which keeps all state
+    and re-emits the FULL result every trigger (a driver bottleneck at
+    scale). Same plan, same results on the same input.
+
+    Append-mode semantics: a window flushes only when the watermark passes
+    its end, and the watermark used by micro-batch N is derived from batch
+    N−1's max event time. On a bounded backlog (availableNow) the last
+    windows therefore flush only if LATER batches carry later events —
+    maxFilesPerTrigger=1 keeps landing files in separate micro-batches, and
+    a backfill drive appends sentinel/heartbeat files to advance event time
+    (see test_streaming); a live deployment gets this for free from the
+    continuous arrival stream."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def load_incremental_index(
     spark: SparkSession, store_dir: str, variant: str = "bm25"
 ) -> BM25Index:

@@ -33,3 +33,48 @@ def test_incremental_equals_batch(spark, docs_df, queries_df, tmp_path):
     a = search(inc, queries_df, k=5, k1=2.5, b=0.2).orderBy("qid", "rank").collect()
     b = search(batch, queries_df, k=5, k1=2.5, b=0.2).orderBy("qid", "rank").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_watermarked_append_matches_complete(spark, tmp_path):
+    """The watermark+append file-sink variant emits exactly the complete-mode
+    result for every real window once later sentinel batches advance the
+    watermark past them (bounded-input backfill drive)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fusion_spark.streaming import windowed_event_counts, windowed_event_counts_watermarked
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    # file 1: the real events
+    shutil.copy(events_path, landing / "a_events.parquet")
+    max_ts = spark.read.parquet(events_path).agg(F.max("ts")).collect()[0][0]
+
+    # files 2+3: sentinel heartbeats that advance event time far past every
+    # real window end (+10h, +20h); two batches are needed because batch N's
+    # watermark comes from batch N-1's max event time
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for i, hours in enumerate((10, 20)):
+        srow = spark.createDataFrame(
+            [(10_000_000 + i, max_ts + datetime.timedelta(hours=hours), 0, "__sentinel__", 0.0, "")],
+            schema,
+        )
+        d = tmp_path / f"sentinel{i}"
+        srow.coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, landing / f"z{i}_sentinel.parquet")
+
+    out = windowed_event_counts_watermarked(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    got = sorted(
+        tuple(r) for r in out.filter(F.col("event_type") != "__sentinel__").collect()
+    )
+    want = sorted(tuple(r) for r in windowed_event_counts(spark, events_path).collect())
+    assert got == want and len(got) > 0
