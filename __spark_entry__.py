@@ -517,6 +517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
         return out.withColumn("pos", F.col("pos").cast("long"))
 
+    def stem_tokenize(spark, sf_dir):
+        # P5 lemma plug-point exercised with the deterministic S-stemmer
+        # (documented parity delta vs the reference's spaCy lemmatizer)
+        from fusion_spark.tokenize import tokenize
+
+        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="reference_stem")
+        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        return out.withColumn("pos", F.col("pos").cast("long"))
+
     def bm25_grid_small(spark, sf_dir):
         """T1 flagship workflow (reference bm25.py:215-246) driver-gated on a
         2×2 (k1, b) grid: one cached index, per-combo re-scoring, recall@10.
@@ -649,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "reference_tokenize": reference_tokenize,
         "code_tokenize": code_tokenize,
+        "stem_tokenize": stem_tokenize,
         "bm25_grid_small": bm25_grid_small,
         "nsf_weight_grid_small": nsf_weight_grid_small,
         "index_lineage": index_lineage,
@@ -880,6 +890,28 @@ WITH ref AS (
              AND NOT regexp_matches(t, '\d')
              AND NOT list_contains([{", ".join(repr(s) for s in sorted(DEFAULT_STOPWORDS))}], lower(t))),
       t -> lower(t)) AS toks
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM ref
+""",
+        "stem_tokenize": rf"""
+WITH ref AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(text), '\s+'),
+        t -> t <> ''
+             AND NOT regexp_matches(t, '^[^\w\s]+$')
+             AND NOT regexp_matches(t, '\d')
+             AND NOT list_contains([{", ".join(repr(s) for s in sorted(DEFAULT_STOPWORDS))}], lower(t))),
+      t -> lower(CASE
+             WHEN length(t) < 4 THEN t
+             WHEN t LIKE '%ies' AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+               THEN substr(t, 1, length(t) - 3) || 'y'
+             WHEN t LIKE '%es' AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+               THEN substr(t, 1, length(t) - 1)
+             WHEN t LIKE '%s' AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+               THEN substr(t, 1, length(t) - 1)
+             ELSE t END)) AS toks
   FROM documents
 )
 SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term FROM ref

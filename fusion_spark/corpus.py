@@ -104,6 +104,16 @@ def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
 
 
+def dedup_splits(train: DataFrame, dev: DataFrame, key_cols=("qid",)) -> DataFrame:
+    """T2: drop train rows whose key appears in the dev split — the
+    train/dev leakage guard (reference filters dev qids out of the mined
+    training tuples, mmarco.py:141-166 sampling loop) as a left anti-join;
+    the dev key set is aggregated (distinct) before the join so the big
+    train side shuffles once against a small build side."""
+    keys = dev.select(*[F.col(c) for c in key_cols]).distinct()
+    return train.join(keys, list(key_cols), "left_anti")
+
+
 def explode_qrels_shuffled(qrels: DataFrame, seed: int = 42) -> DataFrame:
     """T3: one-to-many (qid, article_ids) → shuffled one-to-one pairs."""
     return (

@@ -1,0 +1,106 @@
+"""External source/sink formats (SURVEY §2 S3/S10) — the ir_datasets-shaped
+TSV/JSONL boundary the reference reads and writes.
+
+Reference shapes (cited):
+  * id⭾text TSV for queries/documents, ids 0-based line ids
+    (/root/reference/src/data/lleqa.py:337-345, `_to_disk`);
+  * 4-column TREC qrels TSV `qid 0 doc_id rel`
+    (/root/reference/src/data/lleqa.py:340-341);
+  * JSONL for training tuples / hard negatives
+    (/root/reference/src/data/mmarco.py:131-171).
+
+All are thin `spark.read`/`df.write` wrappers — the value is the pinned
+schema contract, not the IO. Readers take explicit schemas (no inference
+job over a 100 TB landing dir); writers are plain distributed sinks (one
+file per partition — use .coalesce(1) only for tiny artifacts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_id_text_tsv(
+    spark: SparkSession, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """queries.tsv / collection.tsv: `id⭾text`, no header (lleqa.py:343-345;
+    the mMARCO collection uses the same shape)."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema(f"{id_col} long, {text_col} string")
+        .csv(path)
+    )
+
+
+def read_qrels_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """TREC qrels: `qid⭾0⭾doc_id⭾rel` (lleqa.py:340-341). Returns
+    (qid, doc_id, rel); compose with .filter("rel > 0") for positives."""
+    df = (
+        spark.read.option("sep", "\t")
+        .schema("qid long, iter int, doc_id long, rel int")
+        .csv(path)
+    )
+    return df.select("qid", "doc_id", "rel")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL source (mmarco.py:131-141 hard-negatives shape, or any landing
+    feed). Pass `schema` in production — schema inference scans the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_id_text_tsv(df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text") -> None:
+    """id⭾text TSV sink; newlines flattened to spaces exactly like the
+    reference writer (lleqa.py:345 `.replace('\\n',' ').replace('\\r',' ')`)."""
+    (
+        df.select(
+            F.col(id_col).cast("string"),
+            F.regexp_replace(F.col(text_col), r"[\n\r]", " ").alias("text"),
+        )
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(path)
+    )
+
+
+def write_qrels_tsv(qrels: DataFrame, path: str, rel: int = 1) -> None:
+    """4-column TREC qrels sink (lleqa.py:340-341)."""
+    (
+        qrels.select(
+            F.col("qid").cast("string"),
+            F.lit("0"),
+            F.col("doc_id").cast("string"),
+            (F.col("rel") if "rel" in qrels.columns else F.lit(rel)).cast("string"),
+        )
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (training tuples, negatives, metrics dumps)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_trec_run(ranked: DataFrame, path: str, run_tag: str = "fusion_spark") -> None:
+    """Standard 6-column TREC run sink: `qid Q0 doc_id rank score tag` —
+    the interchange format for the (qid, doc_id, score, rank) ranked lists
+    every scorer here emits."""
+    (
+        ranked.select(
+            F.col("qid").cast("string"),
+            F.lit("Q0"),
+            F.col("doc_id").cast("string"),
+            F.col("rank").cast("string"),
+            F.col("score").cast("string"),
+            F.lit(run_tag),
+        )
+        .write.mode("overwrite")
+        .option("sep", " ")
+        .csv(path)
+    )

@@ -17,6 +17,14 @@ BASELINE.json input_hint). Three modes:
                    a deterministic identity lemmatizer (spaCy is out of scope:
                    it is a neural/dict model, not public-data-free; the filter
                    pipeline and ordering are replicated exactly).
+  * ``reference_stem`` — same pipeline with Harman's S-stemmer (1991) at the
+                   lemma plug-point. DOCUMENTED PARITY DELTA: the actual
+                   reference lemmatizes with a spaCy language model
+                   (preprocessor.py:69-72), so this mode is NOT
+                   rank-identical to the true reference on natural-language
+                   corpora — it exists so the lemmatize stage is a real,
+                   deterministic, dictionary-free transform rather than the
+                   identity, with the exact same pipeline position.
   * ``code``     — Arrow `pandas_udf` for source code: identifier / number /
                    operator tokens, for the Iceberg source-code corpus shape.
 
@@ -53,10 +61,25 @@ def simple_tokens(col: Column) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
-def _reference_preprocess_one(text: str, stopwords: frozenset) -> list[str]:
+def s_stem(tok: str) -> str:
+    """Harman (1991) S-stemmer: three ordered plural-stripping rules —
+    ies→y (not eies/aies), es→e (not aes/ees/oes), s→∅ (not us/ss); tokens
+    shorter than 4 chars pass through. Deterministic and dictionary-free."""
+    if len(tok) < 4:
+        return tok
+    if tok.endswith("ies") and not tok.endswith(("eies", "aies")):
+        return tok[:-3] + "y"
+    if tok.endswith("es") and not tok.endswith(("aes", "ees", "oes")):
+        return tok[:-1]
+    if tok.endswith("s") and not tok.endswith(("us", "ss")):
+        return tok[:-1]
+    return tok
+
+
+def _reference_preprocess_one(text: str, stopwords: frozenset, stem: bool = False) -> list[str]:
     # Order matters and mirrors preprocessor.py:61-76: filter on the raw
-    # (pre-lowercase) token, lemmatize (identity), join, lowercase, then the
-    # final whitespace split the index sees (bm25.py:55).
+    # (pre-lowercase) token, lemmatize (identity or S-stem), join, lowercase,
+    # then the final whitespace split the index sees (bm25.py:55).
     kept = []
     for tok in text.split():
         if _PUNCT_RE.match(tok):
@@ -65,14 +88,14 @@ def _reference_preprocess_one(text: str, stopwords: frozenset) -> list[str]:
             continue
         if tok.lower() in stopwords:
             continue
-        kept.append(tok)
+        kept.append(s_stem(tok) if stem else tok)
     return " ".join(kept).lower().split()
 
 
-def make_reference_tokenizer(stopwords: frozenset = DEFAULT_STOPWORDS):
+def make_reference_tokenizer(stopwords: frozenset = DEFAULT_STOPWORDS, stem: bool = False):
     @F.pandas_udf(ArrayType(StringType()))
     def reference_tokens(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: _reference_preprocess_one(t, stopwords))
+        return texts.fillna("").map(lambda t: _reference_preprocess_one(t, stopwords, stem))
 
     return reference_tokens
 
@@ -110,6 +133,8 @@ def tokenize(
         tok = simple_tokens(col)
     elif mode == "reference":
         tok = make_reference_tokenizer(stopwords)(col)
+    elif mode == "reference_stem":
+        tok = make_reference_tokenizer(stopwords, stem=True)(col)
     elif mode == "code":
         tok = make_code_tokenizer()(col)
     else:

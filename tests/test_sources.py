@@ -1,0 +1,81 @@
+"""S3/S10 source/sink formats: TSV/JSONL/TREC roundtrips + T2 split dedup."""
+
+from pyspark.sql import functions as F
+
+from fusion_spark.corpus import dedup_splits
+from fusion_spark.sources import (
+    read_id_text_tsv,
+    read_jsonl,
+    read_qrels_tsv,
+    write_id_text_tsv,
+    write_jsonl,
+    write_qrels_tsv,
+    write_trec_run,
+)
+
+
+def test_id_text_tsv_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "line with\nnewline"), (2, "tabs ok")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs_tsv")
+    write_id_text_tsv(docs, p)
+    back = {r["doc_id"]: r["text"] for r in read_id_text_tsv(spark, p).collect()}
+    assert back[0] == "hello world"
+    assert back[1] == "line with newline"  # reference writer flattens newlines
+    assert len(back) == 3
+
+
+def test_qrels_tsv_roundtrip(spark, tmp_path):
+    qrels = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "qid long, doc_id long")
+    p = str(tmp_path / "qrels_tsv")
+    write_qrels_tsv(qrels, p)
+    back = read_qrels_tsv(spark, p)
+    assert sorted((r["qid"], r["doc_id"], r["rel"]) for r in back.collect()) == [
+        (1, 10, 1), (1, 20, 1), (2, 30, 1),
+    ]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30])], "qid long, negs array<long>")
+    p = str(tmp_path / "jl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, schema="qid long, negs array<long>")
+    assert sorted((r["qid"], tuple(r["negs"])) for r in back.collect()) == [
+        (1, (10, 20)), (2, (30,)),
+    ]
+
+
+def test_trec_run_format(spark, tmp_path):
+    ranked = spark.createDataFrame(
+        [(1, 5, 2.5, 1), (1, 7, 1.0, 2)], "qid long, doc_id long, score double, rank long"
+    )
+    p = str(tmp_path / "run")
+    write_trec_run(ranked, p, run_tag="t")
+    lines = sorted(
+        r["value"] for r in spark.read.text(p).collect()
+    )
+    assert lines == ["1 Q0 5 1 2.5 t", "1 Q0 7 2 1.0 t"]
+
+
+def test_dedup_splits_anti_join(spark):
+    train = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "qid long, x string")
+    dev = spark.createDataFrame([(2,), (2,), (9,)], "qid long")
+    kept = sorted(r["qid"] for r in dedup_splits(train, dev).collect())
+    assert kept == [1, 3]
+
+
+def test_s_stemmer_rules():
+    from fusion_spark.tokenize import s_stem
+
+    assert s_stem("policies") == "policy"
+    assert s_stem("caches") == "cache"
+    assert s_stem("tables") == "table"
+    assert s_stem("columns") == "column"
+    assert s_stem("corpus") == "corpus"  # -us guard
+    assert s_stem("class") == "class"  # -ss guard
+    # -oes blocks rule 2 but the token falls through to rule 3 (plain -s):
+    # rules are tried in order until one APPLIES, exceptions included
+    assert s_stem("toes") == "toe"
+    assert s_stem("as") == "as"  # short-token guard
