@@ -452,8 +452,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.lsh_candidate_pairs(sigs, band_size=2)
 
     def jaccard_pairs(spark, sf_dir):
-        sh = dedup.shingles(_docs(spark, sf_dir), n=3)
-        return _rounded(dedup.jaccard_pairs(sh, min_jaccard=0.2), "jaccard")
+        # the scale pipeline: MinHash-LSH candidates → exact Jaccard verify
+        # (no un-banded quadratic shingle self-join in the plan); the oracle
+        # mirrors the banding like lsh_candidates does
+        docs = _docs(spark, sf_dir)
+        sigs = dedup.minhash_signatures(docs, n=3, num_hashes=4)
+        cands = dedup.lsh_candidate_pairs(sigs, band_size=2)
+        sh = dedup.shingles(docs, n=3)
+        return _rounded(dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands), "jaccard")
 
     def cosine_topk(spark, sf_dir):
         embs = _embs(spark, sf_dir)
@@ -1050,10 +1056,27 @@ FROM banded a JOIN banded b
         "jaccard_pairs": f"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+seeded AS (
+  SELECT doc_id, seed, md5('s' || seed || ':' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+),
+sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, (seed // 2) AS band,
+         list_aggregate(list_sort(list(minhash)), 'string_agg', '|') AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, n_shared,
        round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard

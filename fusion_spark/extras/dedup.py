@@ -114,32 +114,47 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard per doc pair sharing ≥1 shingle:
-    |A∩B| / (|A|+|B|−|A∩B|). If `candidates` (doc_a, doc_b) is given, only
-    verify those pairs (the LSH path); otherwise join on shared shingles
-    (exact, quadratic in hot-shingle bucket size). `max_shingle_df` drops
-    shingles occurring in more than that many docs from the PAIR-GENERATING
-    join (the standard hot-shingle cap at corpus scale: a shingle in 10^6
-    docs would emit 10^12 pairs); sizes/intersections still use all shingles
-    of the surviving pairs when `candidates` is used, so set it only for the
-    un-banded approximate path."""
+    |A∩B| / (|A|+|B|−|A∩B|).
+
+    If `candidates` (doc_a, doc_b) is given — the MinHash-LSH scale path —
+    intersections are computed ONLY for those pairs: candidates join the
+    shingle table once per side, so cost is |candidates| × avg shingles,
+    never the quadratic shared-shingle self-join (which at corpus scale is
+    generated AFTER banding, not before). Without candidates, the exact
+    shared-shingle join runs (quadratic in hot-shingle bucket size — the
+    small-N verifier). `max_shingle_df` drops shingles occurring in more
+    than that many docs from the pair-GENERATING join only (the standard
+    hot-shingle cap: a shingle in 10^6 docs would emit 10^12 pairs); sizes
+    always use all shingles. Both paths emit only pairs sharing ≥1
+    surviving shingle."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    else:
+        if max_shingle_df is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_shingle_df)
+                .select("shingle")
+            )
+            sh_gen = sh.join(hot, "shingle", "left_anti")
+        else:
+            sh_gen = sh
+        a = sh_gen.alias("a")
+        b = sh_gen.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (

@@ -63,6 +63,28 @@ def test_jaccard_exact_duplicates_score_one(spark, docs_df):
         assert r["jaccard"] == pytest.approx(1.0)
 
 
+def test_jaccard_candidates_path_subset_and_verified(spark, docs_df):
+    """LSH-verified Jaccard ⊆ exact Jaccard, with identical scores on shared
+    pairs, and exact duplicates (jaccard 1.0) always recalled."""
+    sh = dedup.shingles(docs_df, text_col="content", n=3)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, min_jaccard=0.2).collect()
+    }
+    sigs = dedup.minhash_signatures(docs_df, text_col="content", n=3, num_hashes=4)
+    cands = dedup.lsh_candidate_pairs(sigs, band_size=2)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, min_jaccard=0.2, candidates=cands).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == pytest.approx(exact[pair])
+    # identical docs agree on every minhash → always candidates
+    dup_pairs = {p for p, j in exact.items() if j == pytest.approx(1.0)}
+    assert dup_pairs and dup_pairs <= set(verified)
+
+
 def test_simhash_duplicates_equal_and_blocking(spark, docs_df):
     sim = dedup.simhash(docs_df, text_col="content")
     dups = dedup.simhash_near_dups(sim, max_hamming=0)
