@@ -146,3 +146,31 @@ def test_search_auto_planner(spark, docs_df, queries_df):
     assert sorted((r["qid"], r["doc_id"]) for r in out2.collect()) == sorted(
         (r["qid"], r["doc_id"]) for r in exact.collect()
     )
+
+
+def test_disk_store_wand_plan_has_no_repartition(spark, docs_df, queries_df, tmp_path):
+    """A disk-backed packed store is already clustered by segment, so
+    wand_search must not insert a repartition exchange between the store
+    scan and the kernel; the in-memory (groupBy-produced) store still gets
+    the defensive repartition."""
+    import contextlib
+    import io
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=64)
+    packed.write(str(tmp_path / "store"))
+    disk = PackedIndex.read(spark, str(tmp_path / "store"))
+    assert disk.segment_clustered and not packed.segment_clustered
+
+    def plan(p):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            wand_search(p, queries_df, k=5, k1=2.5, b=0.2).explain("formatted")
+        return buf.getvalue()
+
+    assert "hashpartitioning(segment" not in plan(disk)
+    assert "hashpartitioning(segment" in plan(packed)
+    # identical results either way
+    a = _collect(wand_search(disk, queries_df, k=5, k1=2.5, b=0.2))
+    b = _collect(wand_search(packed, queries_df, k=5, k1=2.5, b=0.2))
+    assert a == b
