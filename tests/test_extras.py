@@ -225,3 +225,41 @@ def test_ivf_cosine_topk(spark):
     b = {(r["qid"], r["vec_id"]) for r in brute.collect()}
     a = {(r["qid"], r["vec_id"]) for r in out.collect()}
     assert len(a & b) / len(b) >= 0.5
+
+
+def test_simhash_batch_kernel_matches_per_doc_reference(spark):
+    """The vectorized bit-matrix kernel must equal the per-doc reference
+    formulation (_simhash_one) on every doc, including empty ones."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))) for i in range(60)]
+    rows.append((999, ""))  # token-less doc → simhash 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == dedup._simhash_one(text.lower().split()), doc_id
+
+
+def test_fingerprint_matches_naive_winnowing(spark):
+    """The sliding-window numpy kernel must equal a straightforward
+    per-window min over the same 60-bit hex hashes."""
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fingerprints"]) for r in textstats.fingerprint(docs).collect()}
+    kgram, window = 4, 4
+    for doc_id, text in rows:
+        ts = text.lower().split()
+        n = len(ts) - kgram + 1
+        if n <= 0:
+            assert got[doc_id] == []
+            continue
+        hs = [hashlib.md5(" ".join(ts[i:i + kgram]).encode()).hexdigest()[:15] for i in range(n)]
+        want = sorted({min(hs[i:i + window]) for i in range(max(n - window + 1, 1))})
+        assert got[doc_id] == want, doc_id
