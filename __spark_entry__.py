@@ -587,8 +587,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = textstats.fingerprint(_docs(spark, sf_dir))
         return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
-    # ---- rows-only (driver records weaker check; see oracle_sql docstring) ----
+    # ---- rows-only (driver records weaker check) ----
     def ivf_cosine_topk(spark, sf_dir):
+        # deliberately rows-only: the k-means training state depends on
+        # distributed float means whose accumulation ORDER is not pinned —
+        # a one-ulp centroid difference can flip a near-tie assignment, so a
+        # SQL replica would be a flaky gate, not an oracle. Covered instead
+        # by pytest (test_extras: self-match + recall vs brute force).
         embs = _embs(spark, sf_dir)
         qv = embs.filter("vec_id < 3").select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
