@@ -509,6 +509,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
 
+    def event_sessions(spark, sf_dir):
+        # batch twin of the applyInPandasWithState sessionizer (stream==batch
+        # asserted in test_streaming); 12h gap
+        from fusion_spark.streaming import sessionize
+
+        out = sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        return out.withColumn("session_idx", F.col("session_idx").cast("long"))
+
     def reference_tokenize(spark, sf_dir):
         from fusion_spark.tokenize import tokenize
 
@@ -667,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_concat": title_concat,
         "embedding_near_dups": embedding_near_dups,
         "events_windowed": events_windowed,
+        "event_sessions": event_sessions,
         "reference_tokenize": reference_tokenize,
         "code_tokenize": code_tokenize,
         "stem_tokenize": stem_tokenize,
@@ -890,6 +899,25 @@ SELECT event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 43200000000 THEN 0 ELSE 1 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
 """,
         "reference_tokenize": rf"""
 WITH ref AS (

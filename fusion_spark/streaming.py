@@ -153,6 +153,127 @@ def windowed_event_counts_watermarked(
     return spark.read.parquet(out_dir)
 
 
+_SESSION_GAP_US_DEFAULT = 12 * 3600 * 1_000_000  # 12 hours
+
+
+def sessionize(events: DataFrame, gap_us: int = _SESSION_GAP_US_DEFAULT) -> DataFrame:
+    """Batch gaps-and-islands sessionization: per user, a new session starts
+    when the gap to the previous event exceeds `gap_us`. Output
+    (user_id, session_idx, session_start, session_end, n_events, sum_value).
+
+    One shuffle: HashPartitioning(user_id) serves the lag window, the
+    cumulative-sum window, and the session aggregate. Deterministic order
+    (ts, event_id) so equal timestamps can't flip session boundaries.
+    This is the semantic twin of `sessionize_stream` below — the test
+    asserts stream == batch on a bounded input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — gap
+    # DIFFERENCES are tz-shift invariant, so the cast cannot move a boundary
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(t_us).over(w)
+    brk = F.when(prev.isNull() | ((t_us - prev) <= F.lit(gap_us)), F.lit(0)).otherwise(F.lit(1))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("session_idx", F.sum(brk).over(cum))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    gap_us: int = _SESSION_GAP_US_DEFAULT,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+):
+    """Custom STATEFUL streaming operator via applyInPandasWithState: per
+    user_id, an open session (start, end, n, sum) lives in the state store;
+    each micro-batch extends it or closes it (closed sessions are emitted in
+    append mode). The per-batch kernel is numpy-vectorized (gap boundaries
+    via diff, per-session sums via reduceat) — no per-event Python.
+
+    Ordering contract: events must arrive in event-time order ACROSS
+    micro-batches (standard log-ingestion layout; within a batch any order
+    is fine — the kernel sorts). Sessions still open when a bounded run
+    drains stay in state; a backfill drive appends per-user sentinel events
+    to close them (see the test), a live stream closes them naturally.
+    Returns the collected closed sessions as a batch DataFrame (memory sink,
+    availableNow)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, end long, n long, s double"
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        t = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = batch["value"].to_numpy(dtype=np.float64)
+        if t.size == 0:
+            return
+        # session boundaries inside the batch
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > gap_us) + 1))
+        ends = np.concatenate((starts[1:], [t.size]))
+        seg = [
+            (int(t[a]), int(t[b - 1]), int(b - a), float(np.add.reduce(v[a:b])))
+            for a, b in zip(starts, ends)
+        ]
+        if state.exists:
+            st, en, n, s = state.get
+            if t[0] - en <= gap_us:  # first segment continues the open session
+                a_st, a_en, a_n, a_s = seg[0]
+                seg[0] = (st, a_en, n + a_n, s + a_s)
+            else:
+                seg.insert(0, (st, en, n, s))
+        *closed, open_sess = seg
+        state.update(open_sess)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing_dir)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    _MEMSINK_COUNTER[0] += 1
+    name = f"sessions_{_MEMSINK_COUNTER[0]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def load_incremental_index(
     spark: SparkSession, store_dir: str, variant: str = "bm25"
 ) -> BM25Index:

@@ -78,3 +78,55 @@ def test_watermarked_append_matches_complete(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in windowed_event_counts(spark, events_path).collect())
     assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch gaps-and-islands twin
+    on a bounded input (per-user sentinels close the open sessions)."""
+    import datetime
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fusion_spark.streaming import sessionize, sessionize_stream
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(events_path)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    users = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(events_path, landing / "a_events.parquet")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    sent = spark.createDataFrame(
+        [
+            (20_000_000 + i, max_ts + datetime.timedelta(days=10), u, "__sentinel__", 0.0, "")
+            for i, u in enumerate(users)
+        ],
+        schema,
+    )
+    d = tmp_path / "sentinels"
+    sent.coalesce(1).write.parquet(str(d))
+    shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / "z_sentinels.parquet")
+
+    out = sessionize_stream(spark, str(landing), str(tmp_path / "ckpt"))
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["session_end"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        # sentinel sessions stay OPEN in state → only real sessions emitted,
+        # but guard anyway in case a sentinel landed within gap of real data
+        for r in out.collect()
+        if r["session_start"] <= max_ts
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["sum_value"], 6))
+        for r in sessionize(events).collect()
+    )
+    assert got == want and len(got) > 0
