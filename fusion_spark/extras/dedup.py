@@ -42,10 +42,18 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", doc_id_col: str = 
 
 
 def shingles(
-    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id", n: int = 3, mode: str = "simple"
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    n: int = 3,
+    mode: str = "simple",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct token n-gram shingles per doc: (doc_id, shingle).
-    Shingle = n consecutive tokens joined by single spaces."""
+    """Token n-gram shingles per doc: (doc_id, shingle). Shingle = n
+    consecutive tokens joined by single spaces. `distinct=True` (set
+    semantics — required for Jaccard sizes/intersections) costs a full
+    shuffle; pass distinct=False for consumers that are duplicate-invariant
+    (minhash: min over a multiset == min over its set) to skip it."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
     # guard: sequence(1, 0) generates a DESCENDING [1, 0] in ANSI Spark, so
     # docs with < n tokens must short-circuit to an empty shingle array
@@ -58,10 +66,8 @@ def shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select(F.col(doc_id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = toks.select(F.col(doc_id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -72,8 +78,10 @@ def minhash_signatures(
     num_hashes: int = 8,
 ) -> DataFrame:
     """(doc_id, seed, minhash): per seed s, min over shingles of
-    md5('s<seed>:' || shingle). Partial+final min aggregate — skew-proof."""
-    sh = shingles(docs, text_col, doc_id_col, n)
+    md5('s<seed>:' || shingle). Partial+final min aggregate — skew-proof.
+    Uses multiset shingles (min is duplicate-invariant) — one exchange
+    fewer than the set-semantics path."""
+    sh = shingles(docs, text_col, doc_id_col, n, distinct=False)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
     return (
         sh.select("doc_id", "shingle", seeds)
