@@ -542,12 +542,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_grid_small(spark, sf_dir):
         """T1 flagship workflow (reference bm25.py:215-246) driver-gated on a
-        2×2 (k1, b) grid: one cached index, per-combo re-scoring, recall@10.
-        score_round=6 = the cross-engine tie contract."""
-        from fusion_spark.tuning import bm25_grid
+        2×2 (k1, b) grid — via the FUSED one-plan implementation (combos as
+        broadcast literal columns over per-pair term arrays; bit-identical
+        to the per-combo loop, asserted in test_tuning). score_round=6 = the
+        cross-engine tie contract."""
+        from fusion_spark.tuning import bm25_grid_fused
 
         idx = _index(spark, sf_dir, "bm25")
-        grid = bm25_grid(
+        grid = bm25_grid_fused(
             idx, _queries_df(spark), _qrels(spark, sf_dir),
             k1_values=[1.5, 2.5], b_values=[0.2, 0.75],
             top_k=20, recall_k=(10,), score_round=6,

@@ -67,6 +67,100 @@ def bm25_grid(
     return spark.createDataFrame(rows)
 
 
+def bm25_grid_fused(
+    index: BM25Index,
+    queries: DataFrame,
+    qrels: DataFrame,
+    k1_values=None,
+    b_values=None,
+    top_k: int = 1000,
+    recall_k=(10, 100, 200, 500, 1000),
+    score_round: int | None = None,
+    mode: str = "simple",
+) -> DataFrame:
+    """The whole k1/b grid in ONE distributed plan (vs bm25_grid's per-combo
+    driver loop — 187 round-trips on the reference workflow, bm25.py:215-246).
+
+    Shape: the (qid, doc_id) → sorted term-stat arrays table is built ONCE
+    (the same single corpus-side shuffle as one search); the combo table
+    (|k1|×|b| rows) broadcast-cross-joins it and each score is a JVM
+    higher-order fold over the array with k1/b as columns — identical
+    arithmetic and summation order to scoring.score, so scores are
+    bit-identical to the loop version (asserted in tests). Ranking and
+    recall@k then aggregate per (k1, b). Driver round-trips: 2 (combo count
+    is plan-side), regardless of grid size."""
+    from pyspark.sql import Window
+
+    from fusion_spark.metrics import explode_qrels
+    from fusion_spark.scoring import query_terms
+
+    spark = queries.sparkSession
+    if k1_values is None:
+        k1_values = [x * 0.5 for x in range(17)]  # 0 .. 8
+    if b_values is None:
+        b_values = [x * 0.1 for x in range(11)]  # 0 .. 1
+    if index.variant == "tfidf":
+        raise ValueError("k1/b grid applies to bm25/atire saturation scoring")
+
+    qterms = F.broadcast(query_terms(queries, mode=mode)).join(
+        index.termstats.select("term", "idf"), "term"
+    )
+    joined = F.broadcast(qterms).join(index.postings, "term")
+    # one aggregate builds the per-pair term arrays (term-sorted → the fold
+    # order below matches scoring.score's sort_array fold exactly)
+    base = joined.groupBy("qid", "doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("term", "qtf", "idf", "tf", "dl"))
+        ).alias("_ts")
+    )
+    combos = spark.createDataFrame(
+        [(float(k1), float(b)) for k1 in k1_values for b in b_values], "k1 double, b double"
+    )
+    avgdl = F.lit(float(index.avgdl)) if index.avgdl else None
+
+    def fold(acc, x):
+        tf = x["tf"].cast("double")
+        dl = x["dl"].cast("double")
+        norm = (F.col("b") * dl / avgdl) if avgdl is not None else F.lit(0.0)
+        denom = tf + F.col("k1") * (F.lit(1.0) - F.col("b") + norm)
+        # same op order as scoring.partial_score_expr: qtf * (idf*(tf*(k1+1))/denom)
+        return acc + x["qtf"].cast("double") * (
+            x["idf"] * (tf * (F.col("k1") + F.lit(1.0))) / denom
+        )
+
+    scored = (
+        base.crossJoin(F.broadcast(combos))
+        .withColumn("score", F.aggregate("_ts", F.lit(0.0), fold))
+        .drop("_ts")
+    )
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round("score", score_round))
+    w = Window.partitionBy("k1", "b", "qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+
+    gt = explode_qrels(qrels)
+    gt_size = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt"))
+    hits = ranked.join(gt, ["qid", "doc_id"]).select("k1", "b", "qid", "rank")
+    # every (combo × gt-qid) contributes (zero-hit queries count as 0)
+    all_cells = gt_size.crossJoin(F.broadcast(combos))
+    per_q = (
+        all_cells.join(hits, ["k1", "b", "qid"], "left")
+        .groupBy("k1", "b", "qid", "n_gt")
+        .agg(
+            *[
+                F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias(f"_h{k}")
+                for k in recall_k
+            ]
+        )
+    )
+    return per_q.groupBy("k1", "b").agg(
+        *[
+            F.avg(F.coalesce(F.col(f"_h{k}"), F.lit(0)) / F.col("n_gt")).alias(f"recall_{k}")
+            for k in recall_k
+        ]
+    )
+
+
 def weight_simplex(systems: list[str], step: float = 0.05) -> list[dict[str, float]]:
     """All step-grid weight vectors over `systems` summing to 1
     (hybrid.py:404-408 semantics, float-safe)."""

@@ -39,3 +39,39 @@ def test_bm25_grid_matches_direct(spark, docs_df, queries_df, qrel_rows):
             recall_k=(10,), map_k=(), mrr_k=(), ndcg_k=(),
         )
         assert row["recall_10"] == pytest.approx(direct["recall@10"], abs=1e-9)
+
+
+def test_bm25_grid_fused_matches_loop(spark, docs_df, queries_df, qrel_rows):
+    """The one-plan grid must equal the per-combo driver loop cell for cell
+    (scores are bit-identical by construction — same join, same term-sorted
+    fold, same op order)."""
+    from fusion_spark.tuning import bm25_grid_fused
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qrels = spark.createDataFrame(qrel_rows)
+    kw = dict(k1_values=[0.5, 1.5, 2.5], b_values=[0.2, 0.75], top_k=20, recall_k=(5, 10))
+    loop = {(r["k1"], r["b"]): r for r in bm25_grid(idx, queries_df, qrels, **kw).collect()}
+    fused = {(r["k1"], r["b"]): r for r in bm25_grid_fused(idx, queries_df, qrels, **kw).collect()}
+    assert set(loop) == set(fused) and len(fused) == 6
+    for cell in loop:
+        for m in ("recall_5", "recall_10"):
+            assert fused[cell][m] == pytest.approx(loop[cell][m], abs=1e-12), (cell, m)
+
+
+def test_bm25_grid_fused_single_scan_plan(spark, docs_df, queries_df, qrel_rows):
+    """The fused grid's plan must contain exactly ONE scan of the postings
+    side regardless of grid size (the loop version scans per combo)."""
+    import contextlib
+    import io
+
+    from fusion_spark.tuning import bm25_grid_fused
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qrels = spark.createDataFrame(qrel_rows)
+    grid = bm25_grid_fused(idx, queries_df, qrels, k1_values=[0.5, 1.5, 2.5],
+                           b_values=[0.2, 0.75], top_k=20, recall_k=(10,))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        grid.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan  # combos join is broadcast
