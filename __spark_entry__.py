@@ -562,10 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def nsf_weight_grid_small(spark, sf_dir):
         """F13 (reference hybrid.py:404-426) driver-gated: step-0.5 weight
-        simplex over (bm25, tfidf) legs, min-max NSF, recall@10 per combo."""
-        from fusion_spark.tuning import nsf_weight_grid
+        simplex over (bm25, tfidf) legs, min-max NSF, recall@10 per combo —
+        via the FUSED one-plan implementation (loop-equality asserted in
+        test_tuning)."""
+        from fusion_spark.tuning import nsf_weight_grid_fused
 
-        grid = nsf_weight_grid(
+        grid = nsf_weight_grid_fused(
             _legs(spark, sf_dir), _qrels(spark, sf_dir),
             normalization="min-max", step=0.5, return_topk=20, recall_k=(10,),
         )

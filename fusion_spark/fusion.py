@@ -119,6 +119,29 @@ def percentile_normalize(
     return df.withColumn("score", udf(F.col("system"), F.col("score")))
 
 
+def normalize_scores(
+    df: DataFrame,
+    normalization: str | None,
+    distributions: dict[str, list[float]] | None = None,
+    dtype: str = "float64",
+) -> DataFrame:
+    """The NSF normalization dispatch shared by fuse() and the fused weight
+    grid (normalization is weight-independent, so grids compute it once)."""
+    if normalization == "min-max":
+        return minmax_normalize(df, dtype)
+    if normalization == "z-score":
+        return zscore_normalize(df, dtype)
+    if normalization == "arctan":
+        return arctan_normalize(df, dtype)
+    if normalization in ("percentile-rank", "normal-curve-equivalent"):
+        return percentile_normalize(
+            df, distributions, nce=(normalization == "normal-curve-equivalent")
+        )
+    if normalization in (None, "none"):
+        return df
+    raise ValueError(f"unknown normalization {normalization}")
+
+
 def weight_scores(df: DataFrame, weights: dict[str, float]) -> DataFrame:
     """Per-system convex-combination weights (hybrid.py:282-291) via a
     broadcast map literal — no join, stays in codegen. A system missing from
@@ -171,18 +194,7 @@ def fuse(
     elif method == "rrf":
         df = reciprocal_rank(df)
     elif method == "nsf":
-        if normalization == "min-max":
-            df = minmax_normalize(df, dtype)
-        elif normalization == "z-score":
-            df = zscore_normalize(df, dtype)
-        elif normalization == "arctan":
-            df = arctan_normalize(df, dtype)
-        elif normalization in ("percentile-rank", "normal-curve-equivalent"):
-            df = percentile_normalize(
-                df, distributions, nce=(normalization == "normal-curve-equivalent")
-            )
-        elif normalization not in (None, "none"):
-            raise ValueError(f"unknown normalization {normalization}")
+        df = normalize_scores(df, normalization, distributions, dtype)
         if weights is None:
             systems = [r["system"] for r in score_lists.select("system").distinct().collect()]
             weights = {s: 1.0 / len(systems) for s in systems}  # hybrid.py:448

@@ -172,6 +172,75 @@ def weight_simplex(systems: list[str], step: float = 0.05) -> list[dict[str, flo
     return out
 
 
+def nsf_weight_grid_fused(
+    score_lists: DataFrame,
+    qrels: DataFrame,
+    normalization: str = "min-max",
+    step: float = 0.05,
+    return_topk: int = 1000,
+    recall_k=(10, 100),
+    distributions=None,
+) -> DataFrame:
+    """The whole weight simplex in ONE distributed plan (vs nsf_weight_grid's
+    per-combo loop — 231 combos for 3 systems at step 0.05,
+    hybrid.py:404-426). Normalization is weight-independent → computed once;
+    the combo table (one weight_<system> column per system) broadcast-cross-
+    joins the normalized lists; weighted sums, per-combo ranking, and
+    recall@k aggregate per combo in the same job."""
+    from pyspark.sql import Window
+
+    from fusion_spark.metrics import explode_qrels
+
+    spark = score_lists.sparkSession
+    systems = sorted(r["system"] for r in score_lists.select("system").distinct().collect())
+    combos_list = weight_simplex(systems, step)
+    wcols = [f"weight_{s}" for s in systems]
+    combos = spark.createDataFrame(
+        [
+            {"combo_id": i, **{f"weight_{s}": w[s] for s in systems}}
+            for i, w in enumerate(combos_list)
+        ]
+    )
+    normalized = fz.normalize_scores(
+        score_lists.repartition("qid"), normalization, distributions
+    )
+    wexpr = None
+    for s in systems:
+        branch = (F.col("system") == s, F.col(f"weight_{s}"))
+        wexpr = F.when(*branch) if wexpr is None else wexpr.when(*branch)
+    weighted = normalized.crossJoin(F.broadcast(combos)).withColumn(
+        "wscore", F.col("score") * wexpr
+    )
+    agg = weighted.groupBy("combo_id", *wcols, "qid", "doc_id").agg(
+        F.sum("wscore").alias("score")
+    )
+    w = Window.partitionBy("combo_id", "qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= return_topk
+    )
+
+    gt = explode_qrels(qrels)
+    gt_size = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt"))
+    hits = ranked.join(gt, ["qid", "doc_id"]).select("combo_id", *wcols, "qid", "rank")
+    all_cells = gt_size.crossJoin(F.broadcast(combos))
+    per_q = (
+        all_cells.join(hits, ["combo_id", *wcols, "qid"], "left")
+        .groupBy("combo_id", *wcols, "qid", "n_gt")
+        .agg(
+            *[
+                F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias(f"_h{k}")
+                for k in recall_k
+            ]
+        )
+    )
+    return per_q.groupBy("combo_id", *wcols).agg(
+        *[
+            F.avg(F.coalesce(F.col(f"_h{k}"), F.lit(0)) / F.col("n_gt")).alias(f"recall_{k}")
+            for k in recall_k
+        ]
+    ).drop("combo_id")
+
+
 def nsf_weight_grid(
     score_lists: DataFrame,
     qrels: DataFrame,

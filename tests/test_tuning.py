@@ -75,3 +75,27 @@ def test_bm25_grid_fused_single_scan_plan(spark, docs_df, queries_df, qrel_rows)
         grid.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan  # combos join is broadcast
+
+
+def test_nsf_weight_grid_fused_matches_loop(spark, query_rows):
+    from fusion_spark import synth
+    from fusion_spark.tuning import nsf_weight_grid, nsf_weight_grid_fused
+
+    legs = spark.createDataFrame(synth.make_score_lists(query_rows, n_docs=40))
+    qrels = spark.createDataFrame(
+        [{"qid": q["qid"], "article_ids": [d for d in range(0, 40, 7)]} for q in query_rows]
+    )
+    kw = dict(normalization="min-max", step=0.5, return_topk=20, recall_k=(10,))
+    loop = {
+        tuple(sorted((c, v) for c, v in r.asDict().items() if c.startswith("weight_"))):
+            r["recall_10"]
+        for r in nsf_weight_grid(legs, qrels, **kw).collect()
+    }
+    fused = {
+        tuple(sorted((c, v) for c, v in r.asDict().items() if c.startswith("weight_"))):
+            r["recall_10"]
+        for r in nsf_weight_grid_fused(legs, qrels, **kw).collect()
+    }
+    assert set(loop) == set(fused) and len(fused) >= 3
+    for cell in loop:
+        assert fused[cell] == pytest.approx(loop[cell], abs=1e-12), cell
