@@ -472,6 +472,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def token_stats(spark, sf_dir):
         return textstats.token_stats(_docs(spark, sf_dir))
 
+    def corpus_token_budget(spark, sf_dir):
+        # training-data budgeting over the (otherwise unused) lang column
+        return textstats.token_budget(_docs(spark, sf_dir), group_col="lang")
+
+    def dedup_survivors(spark, sf_dir):
+        # materialized deduplicated corpus (canonical row per content group)
+        out = dedup.drop_exact_duplicates(_docs(spark, sf_dir))
+        return out.select("doc_id", F.md5("text").alias("text_hash"))
+
     def quality_score(spark, sf_dir):
         return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -673,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": jaccard_pairs,
         "cosine_topk": cosine_topk,
         "token_stats": token_stats,
+        "corpus_token_budget": corpus_token_budget,
+        "dedup_survivors": dedup_survivors,
         "quality_score": quality_score,
         "lang_id": lang_id,
         "set_prf": set_prf,
@@ -1145,6 +1156,19 @@ SELECT doc_id,
         THEN list_sum(list_transform(tokens, t -> length(t) * 1.0)) / len(tokens)
         ELSE 0.0 END, 6) AS avg_token_len
 FROM toks JOIN documents USING (doc_id)
+""",
+        "corpus_token_budget": rf"""
+WITH {_SQL_TOKS}
+SELECT d.lang AS lang, count(*) AS n_docs,
+       sum(len(t.tokens)) AS total_ws_tokens,
+       sum(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+       sum(length(d.text)) AS total_chars
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY d.lang
+""",
+        "dedup_survivors": """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+FROM documents GROUP BY md5(text)
 """,
         "quality_score": rf"""
 WITH {_SQL_TOKS},

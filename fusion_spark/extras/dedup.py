@@ -41,6 +41,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", doc_id_col: str = 
     )
 
 
+def drop_exact_duplicates(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep the canonical (min doc_id)
+    row of every exact-content group. Plan: the hash-groupBy of
+    exact_duplicates produces (text_hash, canonical_doc_id); a semi-join on
+    doc_id keeps the winners — the big side shuffles once on the content
+    hash and once on doc_id, never self-joins."""
+    canon = exact_duplicates(docs, text_col, doc_id_col).select(
+        F.col("canonical_doc_id").alias(doc_id_col)
+    )
+    return docs.join(canon, doc_id_col, "left_semi")
+
+
 def shingles(
     docs: DataFrame,
     text_col: str = "text",

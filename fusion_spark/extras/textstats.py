@@ -111,6 +111,26 @@ def lang_id(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id")
     )
 
 
+def token_budget(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data budgeting: per group (language/source/shard), document
+    count and total whitespace/BPE-ish token and char counts — the numbers a
+    data-mixture plan is written against. One partial+final aggregate; the
+    token counting is the same pure-JVM expressions as token_stats."""
+    ts = token_stats(docs.select(doc_id_col, group_col, text_col), text_col, doc_id_col)
+    joined = ts.join(docs.select(F.col(doc_id_col).alias("doc_id"), group_col), "doc_id")
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",
