@@ -119,15 +119,18 @@ def token_budget(
 ) -> DataFrame:
     """Training-data budgeting: per group (language/source/shard), document
     count and total whitespace/BPE-ish token and char counts — the numbers a
-    data-mixture plan is written against. One partial+final aggregate; the
-    token counting is the same pure-JVM expressions as token_stats."""
-    ts = token_stats(docs.select(doc_id_col, group_col, text_col), text_col, doc_id_col)
-    joined = ts.join(docs.select(F.col(doc_id_col).alias("doc_id"), group_col), "doc_id")
-    return joined.groupBy(group_col).agg(
+    data-mixture plan is written against. The counting expressions (same
+    pure-JVM forms as token_stats) are computed inline so the whole thing is
+    ONE map-side partial aggregate: the corpus never shuffles, only
+    |groups| partial rows do."""
+    toks = tokenize(docs.select(group_col, text_col), text_col=text_col, mode="simple")
+    return toks.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_ws_tokens").alias("total_ws_tokens"),
-        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size("tokens").cast("long")).alias("total_ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).cast("long")
+        ).alias("total_bpe_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("total_chars"),
     )
 
 
