@@ -298,6 +298,145 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def write_lsh_store(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus partitioned BY SIGNATURE (Hive-style `sig=` dirs):
+    a query then reads only its own bucket's files — directory-level
+    partition pruning, the on-disk form of the lsh_cosine_topk bucket join.
+    Plane metadata rides in meta.json so readers derive identical sigs."""
+    import json as _json
+    import os as _os
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if dim is None:
+        dim = len(e.select("vec").first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        e.withColumn("sig", lsh_signature(F.col("vec"), planes))
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(f"{path}/vectors")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump({"n_planes": n_planes, "dim": dim, "seed": seed}, f)
+
+
+def lsh_cosine_topk_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """ANN top-k against a signature-partitioned store: query signatures are
+    computed plan-side, `sig IN (...)` prunes whole partition DIRECTORIES
+    before the parquet reader opens a file (PartitionFilters — asserted in
+    test_plans), then the usual bucket join + exact cosine + top-k."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as f:
+        meta = _json.load(f)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
+        "sig", lsh_signature(F.col("qvec"), planes)
+    )
+    qsigs = [r["sig"] for r in q.select("sig").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("sig").isin(qsigs))
+    joined = F.broadcast(q).join(corpus, "sig")
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ivf_store(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Write the corpus partitioned BY INVERTED LIST (`centroid=` dirs);
+    centroids ride in meta.json. A query's n_probe lists map to directories
+    — partition pruning does the 'scan only n_probe/n_centroids of the
+    corpus' part at the file-listing level."""
+    import json as _json
+    import os as _os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = assign_ivf(embeddings, centroids, id_col, vec_col)
+    (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(assigned, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/vectors")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump({"centroids": centroids}, f)
+
+
+def ivf_cosine_topk_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF top-k against a centroid-partitioned store: probe assignment via
+    the vectorized UDF, the probe SET (≤ n_centroids ids, independent of
+    query count) prunes partitions, then broadcast-join + cosine + top-k."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as f:
+        centroids = _json.load(f)["centroids"]
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_ids(v: pd.Series) -> pd.Series:
+        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    probes = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+    ).select("qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid"))
+    probe_set = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe_set))
+    joined = F.broadcast(probes).join(corpus, "centroid")
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -263,3 +263,41 @@ def test_fingerprint_matches_naive_winnowing(spark):
         hs = [hashlib.md5(" ".join(ts[i:i + kgram]).encode()).hexdigest()[:15] for i in range(n)]
         want = sorted({min(hs[i:i + window]) for i in range(max(n - window + 1, 1))})
         assert got[doc_id] == want, doc_id
+
+
+def test_ann_stores_prune_partitions_and_match_in_memory(spark, tmp_path):
+    """Signature/centroid-partitioned ANN stores must (a) return exactly the
+    in-memory path's results and (b) show directory-level PartitionFilters
+    in the scan — the 'query touches only its buckets' claim as a plan."""
+    import contextlib
+    import io
+
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(16)]) for i in range(80)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    lsh_path = str(tmp_path / "lsh_store")
+    similarity.write_lsh_store(embs, lsh_path, n_planes=4, dim=16)
+    got = similarity.lsh_cosine_topk_store(spark, lsh_path, qv, k=5)
+    mem = similarity.lsh_cosine_topk(embs, qv, k=5, n_planes=4, dim=16)
+    key = lambda df: sorted((r["qid"], r["vec_id"], r["rank"]) for r in df.collect())  # noqa: E731
+    assert key(got) == key(mem)
+    p = plan(got)
+    assert "PartitionFilters" in p and "sig" in p
+
+    ivf_path = str(tmp_path / "ivf_store")
+    similarity.write_ivf_store(embs, ivf_path, n_centroids=6)
+    cents = __import__("json").load(open(f"{ivf_path}/meta.json"))["centroids"]
+    got_i = similarity.ivf_cosine_topk_store(spark, ivf_path, qv, k=5, n_probe=2)
+    mem_i = similarity.ivf_cosine_topk(embs, qv, k=5, n_centroids=6, n_probe=2, centroids=cents)
+    assert key(got_i) == key(mem_i)
+    p_i = plan(got_i)
+    assert "PartitionFilters" in p_i and "centroid" in p_i
