@@ -31,7 +31,6 @@ scorer (verified in tests).
 from __future__ import annotations
 
 import heapq
-import math
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -184,7 +183,6 @@ class PackedIndex:
 
     def write(self, path: str) -> None:
         import json as _json
-        import os as _os
 
         self.blocks.repartition("segment").write.mode("overwrite").parquet(f"{path}/blocks")
         self.termstats.write.mode("overwrite").parquet(f"{path}/termstats")
