@@ -476,6 +476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data budgeting over the (otherwise unused) lang column
         return textstats.token_budget(_docs(spark, sf_dir), group_col="lang")
 
+    def curated_corpus(spark, sf_dir):
+        """Capstone pipeline: quality gate -> exact dedup -> LSH near-dup
+        removal, one call (fusion_spark.pipeline.curate_corpus)."""
+        from fusion_spark.pipeline import curate_corpus
+
+        return curate_corpus(_docs(spark, sf_dir), min_quality=0.05, jaccard_threshold=0.6)
+
     def dedup_survivors(spark, sf_dir):
         # materialized deduplicated corpus (canonical row per content group)
         out = dedup.drop_exact_duplicates(_docs(spark, sf_dir))
@@ -683,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "token_stats": token_stats,
         "corpus_token_budget": corpus_token_budget,
+        "curated_corpus": curated_corpus,
         "dedup_survivors": dedup_survivors,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -1169,6 +1177,62 @@ GROUP BY d.lang
         "dedup_survivors": """
 SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
 FROM documents GROUP BY md5(text)
+""",
+        "curated_corpus": rf"""
+WITH {_SQL_TOKS},
+qual AS (
+  SELECT doc_id, round(
+    (CASE WHEN len(tokens) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+    * (1.0 - CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text)
+         ELSE 0.0 END)
+    * (1.0 - CASE WHEN length(text) > 0
+         THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+         ELSE 0.0 END)
+    * (0.5 + 0.5 * least(5.0 * CASE WHEN len(tokens) > 0
+         THEN len(list_filter(tokens, t -> list_contains(['the','a','and','of','to','in','is'], t))) * 1.0 / len(tokens)
+         ELSE 0.0 END, 1.0)), 6) AS quality
+  FROM toks JOIN documents USING (doc_id)
+),
+s1 AS (
+  SELECT d.doc_id AS doc_id, d.text AS text, qual.quality AS quality
+  FROM documents d JOIN qual ON d.doc_id = qual.doc_id
+  WHERE qual.quality >= 0.05
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS (SELECT s1.* FROM s1 JOIN canon ON s1.doc_id = canon.doc_id),
+{_SQL_SHINGLES.strip()},
+sh2 AS (SELECT sh.doc_id AS doc_id, sh.shingle AS shingle FROM sh JOIN s2 ON sh.doc_id = s2.doc_id),
+seeded AS (
+  SELECT doc_id, seed, md5('s' || seed || ':' || shingle) AS h
+  FROM sh2 CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+),
+sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, (seed // 2) AS band,
+         list_aggregate(list_sort(list(minhash)), 'string_agg', '|') AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, count(*) AS n_shared
+  FROM cand c
+  JOIN sh2 a ON a.doc_id = c.doc_a
+  JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+drops AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_shared * 1.0 / (sa.n_sh + sb.n_sh - i.n_shared) >= 0.6
+)
+SELECT s2.doc_id AS doc_id, s2.quality AS quality
+FROM s2 ANTI JOIN drops ON s2.doc_id = drops.doc_id
 """,
         "quality_score": rf"""
 WITH {_SQL_TOKS},

@@ -301,3 +301,27 @@ def test_ann_stores_prune_partitions_and_match_in_memory(spark, tmp_path):
     assert key(got_i) == key(mem_i)
     p_i = plan(got_i)
     assert "PartitionFilters" in p_i and "centroid" in p_i
+
+
+def test_curate_corpus_pipeline(spark, docs_df):
+    """Quality gate -> exact dedup -> LSH near-dup removal composition:
+    survivors respect the quality threshold, exact-duplicate groups keep
+    exactly their canonical (min doc_id) member, near-dup drops keep the
+    smaller id."""
+    from fusion_spark.pipeline import curate_corpus
+
+    docs = docs_df.select("doc_id", F.col("content").alias("text"))
+    out = {r["doc_id"]: r["quality"] for r in curate_corpus(docs, min_quality=0.01).collect()}
+    assert out and all(q >= 0.01 for q in out.values())
+    # exact-dup groups (the synth corpus plants one >=3-doc group): at most
+    # the canonical member survives
+    groups = dedup.exact_duplicates(docs).filter("n_docs >= 2").collect()
+    assert groups
+    by_hash = {
+        r["text_hash"]: r["canonical_doc_id"] for r in groups
+    }
+    members = docs.select("doc_id", F.md5("text").alias("h")).collect()
+    for h, canon_id in by_hash.items():
+        ids = [m["doc_id"] for m in members if m["h"] == h]
+        surviving = [i for i in ids if i in out]
+        assert surviving in ([], [canon_id])
