@@ -1,15 +1,18 @@
-"""Hyperparameter tuning — the reference's grid searches as driver loops over
-one cached index / one cached score-list table.
+"""Hyperparameter tuning — the reference's grid searches, in two forms each:
 
-  * BM25 k1/b grid (bm25.py:215-246): 17×11 = 187 combos, k1∈[0,8] step .5,
-    b∈[0,1] step .1. The index is built ONCE (tf/df/idf/dl are k1/b-
-    independent, bm25.py:219,234); each combo re-runs only the scoring query
-    with new literals — Catalyst replans, the cached postings are reused.
-  * NSF linear-weight simplex grid (hybrid.py:404-426): step-0.05 weight
-    vectors summing to 1 over the fused systems; each combo reuses the
-    cached per-system score lists.
+  * the reference-shaped DRIVER LOOP (`bm25_grid`, `nsf_weight_grid`): one
+    cached index / score-list table, one Spark job per combo with new
+    literals (Catalyst replans; bm25.py:219,234 update_params reuse);
+  * the Spark-first FUSED plan (`bm25_grid_fused`, `nsf_weight_grid_fused`):
+    the whole grid as ONE distributed job — combos ride as broadcast literal
+    columns, scores/metrics aggregate per combo. Bit-identical results
+    (asserted in tests); ~100× on the 187-combo reference grid (BENCH.md).
 
-Both return a tidy metrics DataFrame (the reference's CSV grid sink, S8).
+Grids: BM25 k1/b (bm25.py:215-246): 17×11 = 187 combos, k1∈[0,8] step .5,
+b∈[0,1] step .1; NSF linear-weight simplex (hybrid.py:404-426): step-0.05
+weight vectors summing to 1 over the fused systems.
+
+All return a tidy metrics DataFrame (the reference's CSV grid sink, S8).
 """
 
 from __future__ import annotations
@@ -268,4 +271,5 @@ def nsf_weight_grid(
                 **{m.replace("@", "_").replace("-", "_"): v for m, v in scores.items()},
             }
         )
+    score_lists.unpersist()  # metrics are collected — release the cache
     return spark.createDataFrame(rows)
