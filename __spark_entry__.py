@@ -1168,9 +1168,9 @@ FROM toks JOIN documents USING (doc_id)
         "corpus_token_budget": rf"""
 WITH {_SQL_TOKS}
 SELECT d.lang AS lang, count(*) AS n_docs,
-       sum(len(t.tokens)) AS total_ws_tokens,
-       sum(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-       sum(length(d.text)) AS total_chars
+       sum(len(t.tokens))::BIGINT AS total_ws_tokens,
+       sum(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS total_bpe_tokens,
+       sum(length(d.text))::BIGINT AS total_chars
 FROM documents d JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.lang
 """,
