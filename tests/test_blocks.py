@@ -174,3 +174,46 @@ def test_disk_store_wand_plan_has_no_repartition(spark, docs_df, queries_df, tmp
     a = _collect(wand_search(disk, queries_df, k=5, k1=2.5, b=0.2))
     b = _collect(wand_search(packed, queries_df, k=5, k1=2.5, b=0.2))
     assert a == b
+
+
+def test_stream_ingest_pack_wand_lifecycle(spark, docs_df, queries_df, tmp_path):
+    """Full store lifecycle: streamed posting-store appends -> load -> pack
+    -> WAND search must equal a one-shot batch build + exact search."""
+    from fusion_spark.streaming import incremental_index_stream, load_incremental_index
+
+    docs = docs_df.select("doc_id", docs_df["content"].alias("text"))
+    landing, store, ckpt = (str(tmp_path / d) for d in ("landing", "store", "ckpt"))
+    docs.filter("doc_id % 2 = 0").write.mode("append").parquet(landing)
+    incremental_index_stream(spark, landing, store, ckpt)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(landing)
+    incremental_index_stream(spark, landing, store, ckpt)
+
+    inc = load_incremental_index(spark, store)
+    packed = PackedIndex.from_index(inc, segment_size=64)
+    batch = build_index(docs, doc_id_col="doc_id", text_col="text")
+    a = _collect(wand_search(packed, queries_df, k=5, k1=2.5, b=0.2))
+    b = _collect(search(batch, queries_df, k=5, k1=2.5, b=0.2))
+    assert a == b
+
+
+def test_pack_rejects_negative_doc_ids(spark):
+    docs = spark.createDataFrame([(-1, "a b c"), (2, "a b")], "doc_id long, text string")
+    idx = build_index(docs, doc_id_col="doc_id", text_col="text")
+    with pytest.raises(Exception, match="doc_id >= 0"):
+        PackedIndex.from_index(idx, segment_size=64).blocks.collect()
+
+
+def test_wand_identical_under_planted_hot_term(spark, queries_df):
+    """Extreme skew: one term in EVERY doc (plus its own rare terms) — the
+    segment sharding must keep the packed path rank-identical to exact."""
+    rows = [(i, f"return extra{i % 7} t{i}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(docs, doc_id_col="doc_id", text_col="text")
+    packed = PackedIndex.from_index(idx, segment_size=32)
+    qs = spark.createDataFrame(
+        [(1, "return extra3"), (2, "t17 return"), (3, "return return")],
+        "qid long, question string",
+    )
+    assert _collect(wand_search(packed, qs, k=10, k1=1.5, b=0.75)) == _collect(
+        search(idx, qs, k=10, k1=1.5, b=0.75)
+    )
