@@ -165,10 +165,6 @@ class PackedIndex:
     avgdl: float
     segment_size: int
     variant: str = "bm25"
-    # True when `blocks` already co-locates each segment's rows (the on-disk
-    # layout written by `write` clusters by segment) — wand_search then skips
-    # its defensive repartition("segment") shuffle entirely
-    segment_clustered: bool = False
 
     @classmethod
     def from_index(cls, index: BM25Index, segment_size: int = 1 << 20) -> "PackedIndex":
@@ -206,7 +202,6 @@ class PackedIndex:
         return cls(
             blocks=spark.read.parquet(f"{path}/blocks"),
             termstats=spark.read.parquet(f"{path}/termstats"),
-            segment_clustered=True,  # `write` clusters blocks by segment
             **meta,
         )
 
@@ -245,7 +240,6 @@ def merge_packed(spark: SparkSession, paths: list[str]) -> PackedIndex:
     return PackedIndex(
         blocks=blocks, termstats=termstats, n_docs=n_docs, avgdl=avgdl,
         segment_size=seg.pop(), variant=metas[0]["variant"],
-        segment_clustered=True,  # each source store is clustered on disk
     )
 
 
@@ -390,14 +384,18 @@ def wand_search(
     # pruning) — at corpus scale this, not block-max skipping, eliminates
     # 99%+ of the store (a query touches tens of terms out of millions).
     term_filter = F.col("term").isin(list(by_term.keys()))
-    blocks = packed.blocks.filter(term_filter)
-    if not packed.segment_clustered:
-        # co-locate each segment's blocks so per-segment bounds see the whole
-        # segment (skipping stays safe either way — split segments just skip
-        # less); stores read from disk are already clustered by `write`
-        blocks = blocks.repartition("segment")
-    candidates = blocks.mapInPandas(
-        score_partition, schema="qid long, doc_id long, score double"
+    # The repartition("segment") is a CORRECTNESS requirement, not an
+    # optimization: score_partition emits each (qid, doc_id)'s score exactly
+    # once only if ALL of a segment's term rows land in one partition — the
+    # downstream window ranks raw rows without re-summing. Reading a store
+    # from disk does NOT guarantee this (a parquet file larger than
+    # spark.sql.files.maxPartitionBytes is SPLIT across input partitions),
+    # so every path shuffles here. Post-filter the shuffled rows are tiny
+    # (only query-term blocks).
+    candidates = (
+        packed.blocks.filter(term_filter)
+        .repartition("segment")
+        .mapInPandas(score_partition, schema="qid long, doc_id long, score double")
     )
     from pyspark.sql import Window
 

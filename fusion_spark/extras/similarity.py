@@ -37,6 +37,50 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _infer_dim(e: DataFrame, what: str) -> int:
+    """Vector length from the first row — one tiny driver job; pass `dim`
+    explicitly to skip it. Fails loudly on an empty frame."""
+    row = e.select("vec").first()
+    if row is None:
+        raise ValueError(f"{what}: cannot infer dim from an EMPTY embeddings frame — pass dim=")
+    return len(row[0])
+
+
+def _cosine_topk_ranked(joined: DataFrame, k: int) -> DataFrame:
+    """Shared tail for every ANN path: exact cosine over (qid, qvec, vec_id,
+    vec) candidate rows, (cosine DESC, vec_id ASC) top-k via
+    WindowGroupLimit. Output: (qid, vec_id, cosine, rank)."""
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _probe_ids_udf(centroids: list[list[float]], n_probe: int):
+    """Vectorized nearest-n_probe-centroids UDF (one matmul per Arrow batch;
+    stable argsort → smaller centroid id probes first on ties). Shared by
+    the in-memory and store-backed IVF paths so the probe rule cannot
+    drift."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_ids(v: pd.Series) -> pd.Series:
+        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return probe_ids
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -51,15 +95,7 @@ def cosine_topk(
     Output: (qid, vec_id, cosine, rank)."""
     q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
     joined = q.crossJoin(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")))
-    scored = joined.select(
-        "qid",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_ranked(joined, k)
 
 
 def train_ivf_centroids(
@@ -155,34 +191,13 @@ def ivf_cosine_topk(
     # probe assignment stays DISTRIBUTED: one numpy matmul per Arrow batch
     # over the query DataFrame (no queries.collect() — a 10^7-query batch
     # must not pass through the driver; VERDICT r1 §wrong-6)
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_ids(v: pd.Series) -> pd.Series:
-        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        # ties: stable argsort on -sims → smaller centroid id probes first
-        top = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in top])
-
+    probe_ids = _probe_ids_udf(centroids, n_probe)
     probes = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     ).select("qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid"))
     if broadcast_queries:
         probes = F.broadcast(probes)
-    joined = probes.join(corpus, "centroid")
-    scored = joined.select(
-        "qid",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_ranked(probes.join(corpus, "centroid"), k)
 
 
 def lsh_band_keys(
@@ -248,7 +263,7 @@ def cosine_near_dups(
     if method != "lsh":
         raise ValueError(f"unknown near-dup method {method}")
     if dim is None:
-        dim = len(e.select("vec").first()[0])
+        dim = _infer_dim(e, "cosine_near_dups")
     planes = _hyperplanes(dim, n_bands * band_planes, seed)
     keys = lsh_band_keys(F.col("vec"), planes, n_bands, band_planes)
     banded = e.select("vec_id", F.posexplode(F.array(*keys)).alias("band", "band_key"))
@@ -316,7 +331,7 @@ def write_lsh_store(
 
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     if dim is None:
-        dim = len(e.select("vec").first()[0])
+        dim = _infer_dim(e, "write_lsh_store")
     planes = _hyperplanes(dim, n_planes, seed)
     (
         e.withColumn("sig", lsh_signature(F.col("vec"), planes))
@@ -348,19 +363,10 @@ def lsh_cosine_topk_store(
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
         "sig", lsh_signature(F.col("qvec"), planes)
-    )
+    ).persist()  # evaluated twice: the sig-set collect + the bucket join
     qsigs = [r["sig"] for r in q.select("sig").distinct().collect()]
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("sig").isin(qsigs))
-    joined = F.broadcast(q).join(corpus, "sig")
-    scored = joined.select(
-        "qid",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_ranked(F.broadcast(q).join(corpus, "sig"), k)
 
 
 def write_ivf_store(
@@ -409,32 +415,15 @@ def ivf_cosine_topk_store(
 
     with open(f"{path}/meta.json") as f:
         centroids = _json.load(f)["centroids"]
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_ids(v: pd.Series) -> pd.Series:
-        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in top])
-
+    probe_ids = _probe_ids_udf(centroids, n_probe)
     probes = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
-    ).select("qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid"))
+    ).select(
+        "qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid")
+    ).persist()  # evaluated twice: the probe-set collect + the list join
     probe_set = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe_set))
-    joined = F.broadcast(probes).join(corpus, "centroid")
-    scored = joined.select(
-        "qid",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_ranked(F.broadcast(probes).join(corpus, "centroid"), k)
 
 
 def lsh_cosine_topk(
@@ -459,13 +448,4 @@ def lsh_cosine_topk(
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
         "sig", lsh_signature(F.col("qvec"), planes)
     )
-    joined = F.broadcast(q).join(corpus, "sig")
-    scored = joined.select(
-        "qid",
-        "vec_id",
-        (_dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _cosine_topk_ranked(F.broadcast(q).join(corpus, "sig"), k)

@@ -49,10 +49,10 @@ def curate_corpus(
     ).filter(F.col("quality") >= min_quality)
     stage1 = d.join(q, "doc_id")
 
-    canon = dedup.exact_duplicates(stage1).select(
-        F.col("canonical_doc_id").alias("doc_id")
-    )
-    stage2 = stage1.join(canon, "doc_id", "left_semi")
+    # persisted: three consumers below (signatures, shingles, final
+    # anti-join) would otherwise re-run the quality gate + dedup joins
+    # over the full corpus — the dominant cost at scale
+    stage2 = dedup.drop_exact_duplicates(stage1).persist()
 
     sigs = dedup.minhash_signatures(stage2, n=shingle_n, num_hashes=num_hashes)
     cands = dedup.lsh_candidate_pairs(sigs, band_size=band_size)

@@ -25,9 +25,14 @@ def read_id_text_tsv(
     spark: SparkSession, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """queries.tsv / collection.tsv: `id⭾text`, no header (lleqa.py:343-345;
-    the mMARCO collection uses the same shape)."""
+    the mMARCO collection uses the same shape). Quote/escape handling is
+    DISABLED: the reference writes raw bytes (csv.writer with tab delimiter
+    on newline-flattened text), so a leading '\"' in a document must not be
+    interpreted as a CSV quote character."""
     return (
         spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
         .schema(f"{id_col} long, {text_col} string")
         .csv(path)
     )
@@ -55,14 +60,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
 
 def write_id_text_tsv(df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text") -> None:
     """id⭾text TSV sink; newlines flattened to spaces exactly like the
-    reference writer (lleqa.py:345 `.replace('\\n',' ').replace('\\r',' ')`)."""
+    reference writer (lleqa.py:345 `.replace('\\n',' ').replace('\\r',' ')`);
+    tabs flattened too (the raw no-quote contract has no way to escape the
+    delimiter), quoting disabled to emit raw bytes."""
     (
         df.select(
             F.col(id_col).cast("string"),
-            F.regexp_replace(F.col(text_col), r"[\n\r]", " ").alias("text"),
+            F.regexp_replace(F.col(text_col), r"[\n\r\t]", " ").alias("text"),
         )
         .write.mode("overwrite")
         .option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
         .csv(path)
     )
 

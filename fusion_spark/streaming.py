@@ -150,7 +150,13 @@ def windowed_event_counts_watermarked(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    try:
+        return spark.read.schema(agg.schema).parquet(out_dir)
+    except Exception:
+        # zero finalized windows (nothing advanced the watermark past a
+        # window end): the sink directory holds only _spark_metadata —
+        # return an empty frame with the right schema instead of crashing
+        return spark.createDataFrame([], agg.schema)
 
 
 _SESSION_GAP_US_DEFAULT = 12 * 3600 * 1_000_000  # 12 hours

@@ -148,31 +148,31 @@ def test_search_auto_planner(spark, docs_df, queries_df):
     )
 
 
-def test_disk_store_wand_plan_has_no_repartition(spark, docs_df, queries_df, tmp_path):
-    """A disk-backed packed store is already clustered by segment, so
-    wand_search must not insert a repartition exchange between the store
-    scan and the kernel; the in-memory (groupBy-produced) store still gets
-    the defensive repartition."""
+def test_disk_store_wand_correct_even_when_files_split(spark, docs_df, queries_df, tmp_path):
+    """Correctness guard: score_partition emits each (qid, doc_id) once only
+    if a segment's rows are co-located, and parquet files LARGER than
+    spark.sql.files.maxPartitionBytes are split across input partitions on
+    read — so wand_search must repartition("segment") even for disk-backed
+    stores. Force pathological file splitting and assert identity."""
     import contextlib
     import io
 
     idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
     packed = PackedIndex.from_index(idx, segment_size=64)
     packed.write(str(tmp_path / "store"))
-    disk = PackedIndex.read(spark, str(tmp_path / "store"))
-    assert disk.segment_clustered and not packed.segment_clustered
 
-    def plan(p):
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        disk = PackedIndex.read(spark, str(tmp_path / "store"))
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            wand_search(p, queries_df, k=5, k1=2.5, b=0.2).explain("formatted")
-        return buf.getvalue()
-
-    assert "hashpartitioning(segment" not in plan(disk)
-    assert "hashpartitioning(segment" in plan(packed)
-    # identical results either way
-    a = _collect(wand_search(disk, queries_df, k=5, k1=2.5, b=0.2))
-    b = _collect(wand_search(packed, queries_df, k=5, k1=2.5, b=0.2))
+            wand_search(disk, queries_df, k=5, k1=2.5, b=0.2).explain("formatted")
+        assert "hashpartitioning(segment" in buf.getvalue()
+        a = _collect(wand_search(disk, queries_df, k=5, k1=2.5, b=0.2))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    b = _collect(search(idx, queries_df, k=5, k1=2.5, b=0.2))
     assert a == b
 
 

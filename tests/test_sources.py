@@ -16,7 +16,8 @@ from fusion_spark.sources import (
 
 def test_id_text_tsv_roundtrip(spark, tmp_path):
     docs = spark.createDataFrame(
-        [(0, "hello world"), (1, "line with\nnewline"), (2, "tabs ok")],
+        [(0, "hello world"), (1, "line with\nnewline"), (2, "tab\there"),
+         (3, '"quoted" text with, comma'), (4, '"leading quote')],
         "doc_id long, text string",
     )
     p = str(tmp_path / "docs_tsv")
@@ -24,7 +25,11 @@ def test_id_text_tsv_roundtrip(spark, tmp_path):
     back = {r["doc_id"]: r["text"] for r in read_id_text_tsv(spark, p).collect()}
     assert back[0] == "hello world"
     assert back[1] == "line with newline"  # reference writer flattens newlines
-    assert len(back) == 3
+    assert back[2] == "tab here"  # delimiter flattened (raw no-quote contract)
+    # quotes pass through as raw bytes — never CSV-interpreted
+    assert back[3] == '"quoted" text with, comma'
+    assert back[4] == '"leading quote'
+    assert len(back) == 5
 
 
 def test_qrels_tsv_roundtrip(spark, tmp_path):
