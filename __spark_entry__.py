@@ -520,6 +520,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.cosine_near_dups(_embs(spark, sf_dir), min_cosine=0.4, dim=64)
         return _rounded(out, "cosine", 5)
 
+    def embedding_quantize(spark, sf_dir):
+        # int8 storage path for embedding tables; codes exploded to scalars
+        q = similarity.quantize_embeddings(_embs(spark, sf_dir))
+        return q.select(
+            "vec_id", F.round("scale", 9).alias("scale"), F.posexplode("qvec").alias("dim_idx", "qval")
+        ).select(
+            "vec_id", "scale", F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.col("qval").cast("long").alias("qval"),
+        )
+
     def events_windowed(spark, sf_dir):
         from fusion_spark.streaming import windowed_event_counts
 
@@ -697,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_prf": set_prf,
         "title_concat": title_concat,
         "embedding_near_dups": embedding_near_dups,
+        "embedding_quantize": embedding_quantize,
         "events_windowed": events_windowed,
         "event_sessions": event_sessions,
         "reference_tokenize": reference_tokenize,
@@ -916,6 +927,19 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
         "lsh_cosine_topk": _lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
+        "embedding_quantize": """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+  FROM embeddings
+),
+e2 AS (SELECT vec_id, x, mx, unnest(range(1, len(x) + 1)) AS i FROM v)
+SELECT vec_id,
+       round(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END, 9) AS scale,
+       (i - 1)::BIGINT AS dim_idx,
+       CASE WHEN mx > 0 THEN floor(x[i] / (mx / 127.0) + 0.5)::BIGINT ELSE 0::BIGINT END AS qval
+FROM e2
+""",
         "events_windowed": """
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

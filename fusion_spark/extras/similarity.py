@@ -288,6 +288,38 @@ def cosine_near_dups(
     return pairs.filter(F.col("cosine") >= min_cosine)
 
 
+def quantize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage path for
+    petabyte embedding tables (4× smaller than float32, 8× than float64):
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up via
+    floor — no engine rounding-mode ambiguity), zero vectors get scale 0 and
+    all-zero codes. Pure JVM array expressions.
+    Output: (vec_id, scale double, qvec array<tinyint>)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), scale.alias("scale"), qvec.alias("qvec")
+    )
+
+
+def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
+    """(vec_id, scale, qvec) → (vec_id, embedding array<float>): x̂_i =
+    q_i · scale. Reconstruction error per element ≤ scale/2 (≤ max|x|/254)."""
+    return quantized.select(
+        "vec_id",
+        F.transform("qvec", lambda q: (q.cast("double") * F.col("scale")).cast("float")).alias(
+            "embedding"
+        ),
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits — no RNG state, identical
     on every executor/run."""

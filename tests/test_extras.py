@@ -325,3 +325,45 @@ def test_curate_corpus_pipeline(spark, docs_df):
         ids = [m["doc_id"] for m in members if m["h"] == h]
         surviving = [i for i in ids if i in out]
         assert surviving in ([], [canon_id])
+
+
+def test_quantize_roundtrip_error_bound_and_cosine(spark):
+    import numpy as np
+
+    rows = [(i, [math.sin(i * 1.3 + j * 0.7) * (1 + i % 5) for j in range(16)]) for i in range(30)]
+    rows.append((99, [0.0] * 16))  # zero vector → scale 0, zero codes
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_embeddings(embs)
+    deq = {r["vec_id"]: r["embedding"] for r in similarity.dequantize_embeddings(q).collect()}
+    scales = {r["vec_id"]: r["scale"] for r in q.collect()}
+    codes = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    orig = {i: np.asarray(v, dtype=np.float32) for i, v in rows}
+    for vid, x in orig.items():
+        assert all(-127 <= c <= 127 for c in codes[vid])
+        err = np.abs(np.asarray(deq[vid]) - x)
+        # per-element reconstruction error ≤ scale/2 (+ float32 storage ulp)
+        assert err.max() <= scales[vid] / 2 + 1e-6, vid
+        if scales[vid] > 0:
+            cos_q = float(
+                np.dot(deq[vid], x) / (np.linalg.norm(deq[vid]) * np.linalg.norm(x))
+            )
+            assert cos_q > 0.999  # int8 keeps cosine geometry
+    assert scales[99] == 0.0 and all(c == 0 for c in codes[99])
+
+
+def test_curated_corpus_feeds_index_build(spark, docs_df):
+    """Integration: the curation pipeline's survivors are a valid corpus for
+    the index build + search path (the intended composition)."""
+    from fusion_spark.indexing import build_index
+    from fusion_spark.pipeline import curate_corpus
+    from fusion_spark.scoring import search
+
+    docs = docs_df.select("doc_id", F.col("content").alias("text"))
+    survivors = curate_corpus(docs, min_quality=0.01)
+    curated = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    idx = build_index(curated, doc_id_col="doc_id", text_col="text")
+    qs = spark.createDataFrame([(1, "def return import")], "qid long, question string")
+    out = search(idx, qs, k=5, k1=2.5, b=0.2).collect()
+    assert 0 < len(out) <= 5
+    surv_ids = {r["doc_id"] for r in survivors.collect()}
+    assert all(r["doc_id"] in surv_ids for r in out)
