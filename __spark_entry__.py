@@ -6,9 +6,9 @@ training-data-pipeline extras) as (spark, sf_dir) → DataFrame callables.
 `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for each entry — including
 the hash-universe ops (simhash, winnowing fingerprint via hex-nibble bit
 extraction), the LSH paths (deterministic md5 hyperplanes inlined as SQL
-literals), NCE (the 11 fixed Φ⁻¹ outputs as a VALUES lookup), and the
-multimodal stub. Only ivf_cosine_topk stays rows-only (distributed k-means
-training state is not reasonably SQL-expressible).
+literals), NCE (the 11 fixed Φ⁻¹ outputs as a VALUES lookup), IVF (seed
+centroids = lowest-vec_id embedding rows, byte-identical in both engines),
+and the multimodal stub — every queries() entry has an oracle.
 
 Column-name/round contract: every computed column is aliased identically on
 both sides and doubles are rounded (6 dp) so the driver's value-hash compare
@@ -251,6 +251,53 @@ scored AS (
   SELECT q.qid AS qid, s.vec_id AS vec_id,
          list_cosine_similarity(q.qvec::DOUBLE[], s.embedding::DOUBLE[]) AS cosine
   FROM q JOIN sigs s ON q.sig = s.sig
+)
+SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 3, n_queries: int = 3) -> str:
+    """DuckDB mirror of similarity.ivf_cosine_topk(lloyd_iters=0): seed
+    centroids = the n_centroids lowest-vec_id embeddings (byte-identical rows
+    in both engines — no float training state); assignment = argmax cosine
+    with numpy's first-max tie rule (cosine DESC, centroid ASC, rn=1);
+    probing = stable argsort top-n_probe (cosine DESC, centroid ASC,
+    rn ≤ n_probe); then exact cosine + (cosine DESC, vec_id ASC) top-k over
+    the probed inverted lists only."""
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+),
+assigned AS (
+  SELECT vec_id, centroid FROM (
+    SELECT e.vec_id AS vec_id, c.centroid AS centroid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                      c.centroid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT qid, centroid FROM (
+    SELECT q.qid AS qid, c.centroid AS centroid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qvec::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                      c.centroid ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT q.qid AS qid, a.vec_id AS vec_id,
+         list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+  FROM q JOIN probes p ON p.qid = q.qid
+  JOIN assigned a ON a.centroid = p.centroid
+  JOIN embeddings e ON e.vec_id = a.vec_id
 )
 SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
   SELECT qid, vec_id, cosine,
@@ -625,19 +672,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = textstats.fingerprint(_docs(spark, sf_dir))
         return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
-    # ---- rows-only (driver records weaker check) ----
     def ivf_cosine_topk(spark, sf_dir):
-        # deliberately rows-only: the k-means training state depends on
-        # distributed float means whose accumulation ORDER is not pinned —
-        # a one-ulp centroid difference can flip a near-tie assignment, so a
-        # SQL replica would be a flaky gate, not an oracle. Covered instead
-        # by pytest (test_extras: self-match + recall vs brute force).
+        # gated with lloyd_iters=0: seed centroids are the 8 lowest-vec_id
+        # embeddings — byte-identical rows in both engines, so assignment and
+        # probing are exactly SQL-expressible (the r2 rows-only excuse was
+        # the Lloyd-refined centroids' distributed float-mean accumulation
+        # order; that path stays pytest-covered: recall vs brute force).
         embs = _embs(spark, sf_dir)
         qv = embs.filter("vec_id < 3").select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
         return _rounded(
-            similarity.ivf_cosine_topk(embs, qv, k=5, n_centroids=8, n_probe=3), "cosine", 5
+            similarity.ivf_cosine_topk(
+                embs, qv, k=5, n_centroids=8, n_probe=3, lloyd_iters=0
+            ),
+            "cosine",
+            5,
         )
 
     def lsh_cosine_topk(spark, sf_dir):
@@ -925,6 +975,7 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
             weighted=True,
         ),
         "lsh_cosine_topk": _lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3),
+        "ivf_cosine_topk": _ivf_topk_sql(k=5, n_centroids=8, n_probe=3, n_queries=3),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
         "embedding_quantize": """

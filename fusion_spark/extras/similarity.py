@@ -174,15 +174,21 @@ def ivf_cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     broadcast_queries: bool = True,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by nearest
     centroid; each query scans only its `n_probe` nearest centroids' lists
     (≈ n_probe/n_centroids of the corpus). At cluster scale the assignment
     is a write-time partition column — queries prune partitions exactly like
     the term-bucketed posting store. Set broadcast_queries=False for query
-    batches too large to broadcast (both sides then shuffle on centroid)."""
+    batches too large to broadcast (both sides then shuffle on centroid).
+    `lloyd_iters=0` keeps the deterministic seed centroids (the n lowest
+    vec_ids) — no distributed float-mean state, so the result is exactly
+    SQL-expressible (the driver-gate oracle uses this)."""
     if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col, vec_col, lloyd_iters=lloyd_iters
+        )
     assigned = assign_ivf(embeddings, centroids, id_col, vec_col)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")

@@ -90,12 +90,15 @@ def make_percentile_udf(distributions: dict[str, list[float]], nce: bool = False
     """Vectorized nearest-quantile lookup (hybrid.py:271-278). The per-system
     quantile vectors are tiny (≤100k floats) → closed over and shipped with
     the UDF (broadcast-by-closure)."""
-    distrs = {k: np.asarray(v, dtype=np.float32) for k, v in distributions.items()}
+    # float64 throughout: the nearest-index argmin must match the float64
+    # abs(d − score) the SQL oracles compute — a float32 cast here could pick
+    # a different index for a score near a quantile midpoint (ADVICE r2)
+    distrs = {k: np.asarray(v, dtype=np.float64) for k, v in distributions.items()}
 
     @F.pandas_udf(DoubleType())
     def percentile_lookup(system: pd.Series, score: pd.Series) -> pd.Series:
         out = np.empty(len(score), dtype=np.float64)
-        sc = score.to_numpy(dtype=np.float32)
+        sc = score.to_numpy(dtype=np.float64)
         for sys_name in system.unique():
             mask = (system == sys_name).to_numpy()
             d = distrs[sys_name]
