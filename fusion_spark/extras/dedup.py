@@ -107,26 +107,77 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+def banded_candidate_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
+    distinct: bool = True,
+) -> DataFrame:
+    """Bucket-key self-join with a HOT-BUCKET GUARD — the shared candidate
+    generator for every banded LSH path (MinHash bands, hyperplane bands,
+    simhash prefixes).
+
+    Buckets with ≤ max_bucket_size members pair all-vs-all (the normal LSH
+    candidate join). Oversized buckets — a viral near-dup family
+    (boilerplate licenses, templated pages) can land 10⁵–10⁷ members in ONE
+    bucket, whose self-join emits up to 10¹⁴ pairs on a single reducer —
+    switch to STAR pairing: every member pairs with the bucket's
+    representative (min id) only, linear in bucket size. This is not silent
+    truncation: transitive connectivity within the bucket is fully preserved
+    (any two members are connected through the representative), so
+    connected-components / keep-one-representative dedup decisions are
+    unchanged; only direct pair enumeration inside mega-buckets is
+    star-shaped. Use `oversized_buckets` to audit which buckets were capped.
+    max_bucket_size=None disables the guard."""
+    out_sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for kc in key_cols:
+        cond = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & cond
+    if max_bucket_size is None:
+        pairs = banded.alias("a").join(banded.alias("b"), cond).select(*out_sel)
+        return pairs.distinct() if distinct else pairs
+    sizes = banded.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_bucket_n"), F.min(id_col).alias("_rep")
+    )
+    tagged = banded.join(sizes, key_cols)
+    small = tagged.filter(F.col("_bucket_n") <= max_bucket_size).select(*banded.columns)
+    big = tagged.filter(F.col("_bucket_n") > max_bucket_size)
+    star = big.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    pairs = small.alias("a").join(small.alias("b"), cond).select(*out_sel).unionByName(star)
+    return pairs.distinct() if distinct else pairs
+
+
+def oversized_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int = 10_000
+) -> DataFrame:
+    """Audit companion to banded_candidate_pairs: (key_cols..., n_members)
+    for every bucket the guard will star-pair — log/persist this next to the
+    dedup output so capping is visible, never silent."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 2, max_bucket_size: int | None = 10_000
+) -> DataFrame:
     """Band the signature (seeds grouped `band_size` at a time), bucket-join
-    docs sharing any band value → candidate pairs (doc_a < doc_b)."""
+    docs sharing any band value → candidate pairs (doc_a < doc_b). Buckets
+    over `max_bucket_size` are star-paired through their min-doc_id
+    representative (see banded_candidate_pairs)."""
     banded = (
         signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return banded_candidate_pairs(
+        banded, ["band", "band_key"], "doc_id", max_bucket_size
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 def jaccard_pairs(
@@ -246,16 +297,30 @@ def simhash(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id",
     return toks.select(F.col(doc_id_col).alias("doc_id"), sh_udf("tokens").alias("simhash"))
 
 
-def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+def simhash_near_dups(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
     """Bucket by the top `prefix_bits` bits (blocking), then verify hamming
-    distance within buckets — the scale-path for simhash near-dup pairs."""
+    distance within buckets — the scale-path for simhash near-dup pairs.
+    Oversized buckets (identical-prefix mega-families) are star-paired
+    through their min-doc_id representative (see banded_candidate_pairs)."""
     bucketed = sim.withColumn("bucket", F.shiftright("simhash", 60 - prefix_bits))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    cand = banded_candidate_pairs(
+        bucketed.select("doc_id", "bucket"), ["bucket"], "doc_id",
+        max_bucket_size, distinct=False,  # one bucket per doc → pairs unique
+    )
+    sa = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sh_a"))
+    sb = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sh_b"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))).alias("hamming"),
+        )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)

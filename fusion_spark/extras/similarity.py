@@ -233,6 +233,7 @@ def cosine_near_dups(
     dim: int | None = None,
     seed: int = 42,
     buckets: DataFrame | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine ≥ min_cosine.
@@ -273,17 +274,14 @@ def cosine_near_dups(
     planes = _hyperplanes(dim, n_bands * band_planes, seed)
     keys = lsh_band_keys(F.col("vec"), planes, n_bands, band_planes)
     banded = e.select("vec_id", F.posexplode(F.array(*keys)).alias("band", "band_key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    # hot-bucket guard: an embedding mega-family (near-identical boilerplate
+    # vectors) lands all members in the same band keys — star-pair oversized
+    # buckets instead of the quadratic self-join (connectivity preserved)
+    from fusion_spark.extras.dedup import banded_candidate_pairs
+
+    cand = banded_candidate_pairs(
+        banded, ["band", "band_key"], "vec_id", max_bucket_size
+    ).select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"))
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     pairs = (

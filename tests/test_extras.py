@@ -367,3 +367,72 @@ def test_curated_corpus_feeds_index_build(spark, docs_df):
     assert 0 < len(out) <= 5
     surv_ids = {r["doc_id"] for r in survivors.collect()}
     assert all(r["doc_id"] in surv_ids for r in out)
+
+
+# --------------------------- hot-bucket guard -------------------------------
+
+def test_hot_bucket_guard_star_pairs_planted_mega_family(spark):
+    """A planted 10⁴-member near-dup family lands in ONE band bucket: the
+    guard must emit n−1 star pairs (linear), not n(n−1)/2 ≈ 5·10⁷ (the
+    classic LSH scale-killer), while keeping every member connected to the
+    representative and leaving small buckets exact."""
+    n_fam, cap = 10_000, 100
+    fam = [(i, s, "00deadbeefdead") for i in range(n_fam) for s in (0, 1)]
+    # a small genuine bucket (3 docs) that must still pair all-vs-all
+    small = [(500_000 + i, s, "ffsmallbucket0") for i in range(3) for s in (0, 1)]
+    sigs = spark.createDataFrame(fam + small, "doc_id long, seed int, minhash string")
+    pairs = dedup.lsh_candidate_pairs(sigs, band_size=2, max_bucket_size=cap).collect()
+    fam_pairs = [(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] < 500_000]
+    small_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] >= 500_000}
+    assert len(fam_pairs) == n_fam - 1  # star, not quadratic
+    assert all(a == 0 for a, _ in fam_pairs)  # representative = min doc_id
+    assert {b for _, b in fam_pairs} == set(range(1, n_fam))  # connectivity
+    assert small_pairs == {
+        (500_000, 500_001), (500_000, 500_002), (500_001, 500_002)
+    }  # sub-cap buckets stay exact all-vs-all
+
+
+def test_hot_bucket_guard_identity_below_cap(spark, docs_df):
+    """With no oversized buckets the guarded join must equal the unguarded
+    one bit-for-bit (the driver-gate queries rely on this)."""
+    sigs = dedup.minhash_signatures(docs_df, text_col="content", n=3, num_hashes=4)
+    guarded = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs, 2).collect()}
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, 2, max_bucket_size=None).collect()
+    }
+    assert guarded == unguarded
+
+
+def test_oversized_buckets_audit(spark):
+    banded = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(50)] + [(100 + i, 0, "cold") for i in range(3)],
+        "doc_id long, band int, band_key string",
+    )
+    hot = dedup.oversized_buckets(banded, ["band", "band_key"], max_bucket_size=10).collect()
+    assert len(hot) == 1 and hot[0]["band_key"] == "hot" and hot[0]["n_members"] == 50
+
+
+def test_simhash_near_dups_guard(spark):
+    """An identical-simhash mega-family star-pairs; distinct hashes in other
+    buckets still verify exactly."""
+    rows = [(i, 12345) for i in range(60)] + [(1000, -1), (1001, -1), (1002, -9)]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = dedup.simhash_near_dups(sim, max_hamming=3, max_bucket_size=20).collect()
+    fam = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out if r["doc_b"] < 1000]
+    rest = {(r["doc_a"], r["doc_b"]) for r in out if r["doc_b"] >= 1000}
+    assert len(fam) == 59 and all(a == 0 and h == 0 for a, _, h in fam)
+    assert (1000, 1001) in rest  # hamming 0 within a small bucket
+
+
+def test_cosine_near_dups_guard_star_on_identical_family(spark):
+    rows = [(i, [1.0, 2.0, 3.0, 4.0] * 16) for i in range(30)] + [
+        (100 + i, [float((i + 2) * (j + 1) % 7 - 3) for j in range(64)]) for i in range(5)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_near_dups(
+        embs, min_cosine=0.99, dim=64, max_bucket_size=10
+    ).collect()
+    fam = [(r["vec_a"], r["vec_b"]) for r in out if r["vec_b"] < 100]
+    assert len(fam) == 29 and all(a == 0 for a, _ in fam)
+    assert all(r["cosine"] >= 0.99 for r in out)
