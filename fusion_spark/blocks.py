@@ -252,21 +252,64 @@ def wand_search(
     k1: float = 1.5,
     b: float = 0.75,
     mode: str = "simple",
+    max_queries_per_chunk: int = 1024,
 ) -> DataFrame:
     """Top-k BM25 over the packed index with per-partition block skipping and
     bounded heaps. Rank/score identical to scoring.search (sparse mode):
     deterministic sorted-term summation, tie-break (score DESC, doc_id ASC).
-    """
+
+    Memory contract: the query-term table ships to executors via closure and
+    every partition keeps a k-slot heap PER QUERY, so both driver and
+    executor footprints are O(|chunk|·k), not O(|queries|·k) — batches
+    larger than `max_queries_per_chunk` are processed in qid chunks and
+    unioned (each chunk is one independent distributed pass over the
+    query-term blocks). Chunking is result-invariant: queries never interact.
+    Dense 10⁵+-query offline batches should go through scoring.search /
+    search_auto instead — one join plan beats many chunked passes when most
+    blocks must be decoded anyway (search_auto enforces this)."""
     from fusion_spark.scoring import query_terms
 
-    spark = queries.sparkSession
     qterms = query_terms(queries, mode=mode).join(
         packed.termstats.select("term", "idf"), "term"
     )
+    qids_all = sorted(r["qid"] for r in qterms.select("qid").distinct().collect())
+    if len(qids_all) > max_queries_per_chunk:
+        from functools import reduce
+
+        # each chunk's qterm rows are collected EAGERLY inside _wand_chunk
+        # (they ship by closure), so the cache can be released before the
+        # caller materializes the returned union
+        qterms = qterms.persist()
+        chunks = [
+            qids_all[i : i + max_queries_per_chunk]
+            for i in range(0, len(qids_all), max_queries_per_chunk)
+        ]
+        parts = [
+            _wand_chunk(
+                packed, qterms.filter(F.col("qid").between(c[0], c[-1])), c, k, k1, b
+            )
+            for c in chunks
+        ]
+        qterms.unpersist()
+        return reduce(lambda a, d: a.unionByName(d), parts)
+    return _wand_chunk(packed, qterms, qids_all, k, k1, b)
+
+
+def _wand_chunk(
+    packed: PackedIndex,
+    qterms: DataFrame,
+    qids_all: list[int],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """One bounded WAND pass for ≤ max_queries_per_chunk qids: collects the
+    chunk's (qid, term, qtf, idf) rows to the driver and ships them by
+    closure — O(|chunk|·terms) driver memory, O(|chunk|·k) heap slots per
+    partition."""
     # tiny: (qid, term, qtf, idf) — ship to every partition via closure
     qt_rows = qterms.collect()
     by_term: dict[str, list[tuple[int, int, float]]] = {}
-    qids_all = sorted({r["qid"] for r in qt_rows})
     for r in qt_rows:
         by_term.setdefault(r["term"], []).append((r["qid"], r["qtf"], r["idf"]))
 

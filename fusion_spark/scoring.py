@@ -181,6 +181,7 @@ def search_auto(
     b: float = 0.75,
     mode: str = "simple",
     wand_threshold: float = 0.05,
+    wand_max_query_work: int = 2_000_000,
 ) -> DataFrame:
     """Tiny physical planner: selective query batches (touching < threshold
     of the posting store) go through the packed block-max WAND path (term
@@ -188,8 +189,17 @@ def search_auto(
     exact broadcast-join scorer (whole-stage codegen wins when most blocks
     must be decoded anyway). Both paths are rank/score-identical, so this is
     purely a physical choice — the Catalyst-style 'pick the physical
-    strategy from stats' move, done with the one statistic we keep (df)."""
-    if packed is not None and estimate_selectivity(index, queries, mode) < wand_threshold:
+    strategy from stats' move, done with the one statistic we keep (df).
+
+    Routing is TWO-statistic: besides store selectivity, |queries|·k bounds
+    the WAND path's aggregate heap work — a 10⁶-query offline batch times
+    1000-slot heaps is a join-scorer workload however selective each query
+    is (wand_search would grind through hundreds of chunked passes), so
+    batches over `wand_max_query_work` go straight to the one-plan JVM
+    scorer."""
+    if packed is not None and queries.count() * k <= wand_max_query_work and (
+        estimate_selectivity(index, queries, mode) < wand_threshold
+    ):
         from fusion_spark.blocks import wand_search
 
         return wand_search(packed, queries, k=k, k1=k1, b=b, mode=mode)

@@ -217,3 +217,41 @@ def test_wand_identical_under_planted_hot_term(spark, queries_df):
     assert _collect(wand_search(packed, qs, k=10, k1=1.5, b=0.75)) == _collect(
         search(idx, qs, k=10, k1=1.5, b=0.75)
     )
+
+
+def test_wand_chunked_identical_to_single_pass(spark, docs_df):
+    """qid chunking is result-invariant: a 40-query batch forced through
+    8-qid chunks must equal the unchunked pass bit-for-bit (this is the
+    bounded-memory path for large offline batches)."""
+    from pyspark.sql import functions as F
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=16)
+    vocab = [r["term"] for r in idx.termstats.orderBy(F.desc("df")).limit(12).collect()]
+    qs = spark.createDataFrame(
+        [(i, " ".join(vocab[(i + j) % len(vocab)] for j in range(3))) for i in range(40)],
+        "qid long, question string",
+    )
+    chunked = _collect(wand_search(packed, qs, k=7, k1=2.5, b=0.2, max_queries_per_chunk=8))
+    single = _collect(wand_search(packed, qs, k=7, k1=2.5, b=0.2))
+    assert chunked == single
+
+
+def test_search_auto_routes_big_batches_off_wand(spark, docs_df, queries_df):
+    """|queries|·k over the budget must take the join scorer — asserted by
+    passing a poison `packed` that explodes if the WAND path touches it."""
+    from fusion_spark.scoring import search, search_auto
+
+    class _Poison:
+        def __getattr__(self, name):  # pragma: no cover - only on wrong route
+            raise AssertionError("WAND path must not be taken for big batches")
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    n_q = queries_df.count()
+    out = search_auto(
+        idx, _Poison(), queries_df, k=5, k1=2.5, b=0.2,
+        wand_threshold=1.1,  # selectivity alone would pick WAND
+        wand_max_query_work=n_q * 5 - 1,  # ...but the work bound vetoes it
+    )
+    exact = search(idx, queries_df, k=5, k1=2.5, b=0.2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exact.collect()))
