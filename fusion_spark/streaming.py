@@ -150,13 +150,20 @@ def windowed_event_counts_watermarked(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.schema(agg.schema).parquet(out_dir)
-    except Exception:
+    import os
+
+    committed = [
+        f for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if f.endswith(".parquet")
+    ]
+    if not committed:
         # zero finalized windows (nothing advanced the watermark past a
         # window end): the sink directory holds only _spark_metadata —
-        # return an empty frame with the right schema instead of crashing
+        # return an empty frame with the right schema. Checked explicitly
+        # rather than via a broad except, so genuine read failures
+        # (corrupt files, permissions) still raise.
         return spark.createDataFrame([], agg.schema)
+    return spark.read.schema(agg.schema).parquet(out_dir)
 
 
 _SESSION_GAP_US_DEFAULT = 12 * 3600 * 1_000_000  # 12 hours
@@ -175,8 +182,12 @@ def sessionize(events: DataFrame, gap_us: int = _SESSION_GAP_US_DEFAULT) -> Data
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — gap
-    # DIFFERENCES are tz-shift invariant, so the cast cannot move a boundary
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The cast is
+    # gap-preserving under a FIXED-OFFSET session timezone (get_spark pins
+    # spark.sql.session.timeZone=UTC); with a DST-observing zone the
+    # wall-clock→instant conversion is not gap-preserving across a
+    # transition, which could diverge from sessionize_stream's naive
+    # datetime64 arithmetic — keep the session timezone UTC.
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.lag(t_us).over(w)
     brk = F.when(prev.isNull() | ((t_us - prev) <= F.lit(gap_us)), F.lit(0)).otherwise(F.lit(1))
@@ -200,19 +211,28 @@ def sessionize_stream(
     landing_dir: str,
     checkpoint_dir: str,
     gap_us: int = _SESSION_GAP_US_DEFAULT,
+    lateness: str = "1 hour",
     schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
 ):
-    """Custom STATEFUL streaming operator via applyInPandasWithState: per
-    user_id, an open session (start, end, n, sum) lives in the state store;
-    each micro-batch extends it or closes it (closed sessions are emitted in
-    append mode). The per-batch kernel is numpy-vectorized (gap boundaries
-    via diff, per-session sums via reduceat) — no per-event Python.
+    """Custom STATEFUL streaming operator via applyInPandasWithState with
+    WATERMARK-DRIVEN session closing (GroupStateTimeout.EventTimeTimeout):
+    per user_id a LIST of open sessions lives in the state store; a session
+    is emitted only when the event-time watermark passes session_end + gap —
+    i.e. when no admissible event can still extend it. The per-batch kernel
+    is numpy-vectorized (gap boundaries via diff); merging the batch's
+    segments with the handful of open state sessions is tiny-list Python.
 
-    Ordering contract: events must arrive in event-time order ACROSS
-    micro-batches (standard log-ingestion layout; within a batch any order
-    is fine — the kernel sorts). Sessions still open when a bounded run
-    drains stay in state; a backfill drive appends per-user sentinel events
-    to close them (see the test), a live stream closes them naturally.
+    Robustness contract (replaces the r2 cross-batch ordering contract):
+    events may arrive OUT OF EVENT-TIME ORDER across micro-batches up to
+    `lateness` — Spark drops rows older than the watermark, and anything
+    younger merges correctly because open sessions close only via the
+    watermark, never by seeing a later event. Idle users cannot pin state
+    forever: the registered event-time timeout fires once the global
+    watermark passes their earliest open session's end + gap, even if that
+    user never produces another event. On a bounded backlog the watermark
+    only advances with micro-batches, so a backfill drive appends heartbeat
+    files whose event time exceeds max(end) + gap + lateness (any user —
+    the watermark is global); a live stream gets this for free.
     Returns the collected closed sessions as a batch DataFrame (memory sink,
     availableNow)."""
     import numpy as np
@@ -223,33 +243,64 @@ def sessionize_stream(
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
-    state_schema = "start long, end long, n long, s double"
+    state_schema = (
+        "starts array<long>, ends array<long>, ns array<long>, ss array<double>"
+    )
+
+    def _merge(sessions: list[tuple]) -> list[tuple]:
+        """Gap-merge a (start, end, n, sum) list: overlapping-or-within-gap
+        neighbors coalesce. Counts/sums are order-invariant, so late events
+        merging into the middle of an open session stay exact."""
+        sessions.sort()
+        out: list[tuple] = []
+        for s in sessions:
+            if out and s[0] - out[-1][1] <= gap_us:
+                p = out[-1]
+                out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            else:
+                out.append(s)
+        return out
 
     def fn(key, pdfs, state: GroupState):
         user_id = key[0]
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
-        t = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        v = batch["value"].to_numpy(dtype=np.float64)
-        if t.size == 0:
-            return
-        # session boundaries inside the batch
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(t) > gap_us) + 1))
-        ends = np.concatenate((starts[1:], [t.size]))
-        seg = [
-            (int(t[a]), int(t[b - 1]), int(b - a), float(np.add.reduce(v[a:b])))
-            for a, b in zip(starts, ends)
-        ]
+        sessions: list[tuple] = []
         if state.exists:
-            st, en, n, s = state.get
-            if t[0] - en <= gap_us:  # first segment continues the open session
-                a_st, a_en, a_n, a_s = seg[0]
-                seg[0] = (st, a_en, n + a_n, s + a_s)
-            else:
-                seg.insert(0, (st, en, n, s))
-        *closed, open_sess = seg
-        state.update(open_sess)
+            starts, ends, ns, ss = state.get
+            sessions = list(zip(starts, ends, ns, ss))
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch):
+                batch = batch.sort_values(["ts", "event_id"])
+                t = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+                v = batch["value"].to_numpy(dtype=np.float64)
+                b0 = np.concatenate(([0], np.flatnonzero(np.diff(t) > gap_us) + 1))
+                b1 = np.concatenate((b0[1:], [t.size]))
+                sessions.extend(
+                    (int(t[a]), int(t[b - 1]), int(b - a), float(np.add.reduce(v[a:b])))
+                    for a, b in zip(b0, b1)
+                )
+                sessions = _merge(sessions)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                    [s[3] for s in open_],
+                )
+            )
+            # wake when the watermark can close the EARLIEST open session;
+            # must be strictly beyond the current watermark
+            to_ms = (min(s[1] for s in open_) + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(to_ms, wm_ms + 1))
+        else:
+            state.remove()
         if closed:
+            closed.sort()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
@@ -261,10 +312,13 @@ def sessionize_stream(
             )
 
     stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing_dir)
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .withWatermark("ts", lateness)
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
     _MEMSINK_COUNTER[0] += 1
     name = f"sessions_{_MEMSINK_COUNTER[0]}"

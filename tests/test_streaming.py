@@ -130,3 +130,54 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
         for r in sessionize(events).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_late_event_within_watermark(spark, tmp_path):
+    """An event arriving OUT OF EVENT-TIME ORDER across micro-batches (but
+    within the watermark delay) must merge into the right session — the r2
+    implementation's cross-batch ordering contract would silently split it.
+    """
+    import datetime
+    import glob
+    import shutil
+
+    from fusion_spark.streaming import sessionize, sessionize_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def mk(i, minutes, u=7, v=1.0):
+        return (i, t0 + datetime.timedelta(minutes=minutes), u, "click", v, "")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    gap_us = 10 * 60 * 1_000_000  # 10-minute session gap
+    # file1: 10:00, 10:05; file2: LATE 10:02 (older than file1's max) plus
+    # 10:31 (> 10:05 + gap → second session); file3+4: heartbeats that push
+    # the watermark past every end + gap + lateness
+    files = [
+        [mk(1, 0), mk(2, 5)],
+        [mk(3, 2, v=10.0), mk(4, 31)],
+        [mk(90, 24 * 60, u=99)],
+        [mk(91, 48 * 60, u=99)],
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(files):
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / f"{i:02d}.parquet")
+
+    out = sessionize_stream(
+        spark, str(landing), str(tmp_path / "ckpt"), gap_us=gap_us, lateness="1 hour"
+    )
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in out.filter("user_id = 7").collect()
+    )
+    batch = spark.createDataFrame([e for f in files for e in f if e[2] == 7], schema)
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(batch, gap_us=gap_us).collect()
+    )
+    assert got == want
+    # the late 10:02 event must be INSIDE the first session (n=3, sum=12)
+    assert got[0][3] == 3 and got[0][4] == 12.0
