@@ -257,44 +257,37 @@ def _simhash_one(tokens: list[str], bits: int = 60) -> int:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id", mode: str = "simple") -> DataFrame:
-    """60-bit SimHash per doc (token-occurrence weighted) via an Arrow-batched
-    pandas UDF over the token arrays. Near-dup detection then compares
-    hamming distance on the integer — (doc_id, simhash).
+    """60-bit SimHash per doc (token-occurrence weighted) — (doc_id, simhash).
+    Near-dup detection then compares hamming distance on the integer.
 
-    Batch kernel: all tokens of the batch are flattened once, md5'd with a
-    batch-level dedup cache, expanded to a ±1 bit-sign matrix, and scattered
-    into per-doc accumulators with np.add.at — no per-token inner Python
-    loop (the round-1 per-doc/per-bit loop was the hot path)."""
+    Hashing is PURE JVM: per-token 60-bit values come from the builtin
+    md5 → conv(hex, 16, 10) → long inside whole-stage codegen (the r2 Arrow
+    UDF's per-unique-token Python hashlib call was its hot line at scale).
+    The Arrow UDF receives the ready array<long> and only does the
+    vectorized bit-matrix accumulation: flatten the batch once, expand to a
+    ±1 sign matrix, scatter into per-doc accumulators with np.add.at — no
+    per-token Python anywhere."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
+    h60s = F.transform(
+        "tokens", lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
 
     @F.pandas_udf(LongType())
-    def sh_udf(tok: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-
-        def h60(t: str) -> int:
-            v = cache.get(t)
-            if v is None:
-                v = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                cache[t] = v
-            return v
-
-        n_docs = len(tok)
-        flat: list[int] = []
-        doc_idx: list[int] = []
-        for i, ts in enumerate(tok):
-            flat.extend(h60(t) for t in ts)
-            doc_idx.extend([i] * len(ts))
+    def sh_udf(hs_arrays: pd.Series) -> pd.Series:
+        n_docs = len(hs_arrays)
+        lens = np.fromiter((len(a) for a in hs_arrays), dtype=np.int64, count=n_docs)
         out = np.zeros(n_docs, dtype=np.int64)
-        if flat:
-            hs = np.asarray(flat, dtype=np.uint64)
+        if lens.sum():
+            hs = np.concatenate([np.asarray(a, dtype=np.uint64) for a in hs_arrays if len(a)])
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
             shifts = np.arange(60, dtype=np.uint64)
             signs = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1)
             acc = np.zeros((n_docs, 60), dtype=np.int64)
-            np.add.at(acc, np.asarray(doc_idx, dtype=np.int64), signs)
+            np.add.at(acc, doc_idx, signs)
             out = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
         return pd.Series(out)
 
-    return toks.select(F.col(doc_id_col).alias("doc_id"), sh_udf("tokens").alias("simhash"))
+    return toks.select(F.col(doc_id_col).alias("doc_id"), sh_udf(h60s).alias("simhash"))
 
 
 def simhash_near_dups(

@@ -143,41 +143,61 @@ def fingerprint(
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
     token k-grams, slide a window of `window` hashes, keep each window's min —
-    the classic near-dup/plagiarism sketch. Arrow UDF; output
+    the classic near-dup/plagiarism sketch. Output
     (doc_id, fingerprints sorted array<string>).
 
     The hash universe is the first 15 hex chars of md5(kgram) — fixed-width
     hex, so lexicographic order equals the numeric order of the 60-bit value
     (engine-portable: the same min-over-window is expressible in ANSI SQL).
-    Window minima are computed with a numpy sliding-window view; the only
-    per-element Python is the md5 call itself (batch-deduped)."""
+    PURE JVM whole-stage-codegen expressions end to end: k-grams via
+    transform(sequence), hashing via the builtin md5, window minima via
+    array_min over slices (O(n·window) comparisons — fine for the small
+    windows winnowing uses; the r2 Arrow UDF's per-k-gram Python md5 call
+    was the hot line at scale). `_fingerprint_kernel_np` below is the numpy
+    twin kept as the test oracle."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    n_kg = F.size("tokens") - (kgram - 1)
+    kgrams = F.when(
+        F.size("tokens") >= kgram,
+        F.transform(
+            F.sequence(F.lit(1), n_kg),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("tokens", (i + j).cast("int")) for j in range(kgram)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(kgrams, lambda kg: F.substring(F.md5(kg), 1, 15))
+    n_h = F.size(hashes)
+    mins = F.when(n_h <= 0, F.array().cast("array<string>")).when(
+        n_h <= window, F.array(F.array_min(hashes))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_h - (window - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def winnow(tok: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
 
-        def h60(kg: str) -> int:
-            v = cache.get(kg)
-            if v is None:
-                v = int(hashlib.md5(kg.encode()).hexdigest()[:15], 16)
-                cache[kg] = v
-            return v
-
-        def fp(ts) -> list[str]:
-            ts = list(ts)
-            n = len(ts) - kgram + 1
-            if n <= 0:
-                return []
-            hs = np.fromiter(
-                (h60(" ".join(ts[i : i + kgram])) for i in range(n)), dtype=np.int64, count=n
-            )
-            if n <= window:
-                mins = hs.min(keepdims=True)
-            else:
-                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
-            return [format(v, "015x") for v in np.unique(mins)]
-
-        return tok.map(fp)
-
-    return toks.select(F.col(doc_id_col).alias("doc_id"), winnow("tokens").alias("fingerprints"))
+def _fingerprint_kernel_np(tokens: list[str], kgram: int = 4, window: int = 4) -> list[str]:
+    """Numpy reference twin of the JVM fingerprint expressions (test oracle)."""
+    ts = list(tokens)
+    n = len(ts) - kgram + 1
+    if n <= 0:
+        return []
+    hs = np.fromiter(
+        (
+            int(hashlib.md5(" ".join(ts[i : i + kgram]).encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        ),
+        dtype=np.int64,
+        count=n,
+    )
+    if n <= window:
+        mins = hs.min(keepdims=True)
+    else:
+        mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+    return [format(v, "015x") for v in np.unique(mins)]

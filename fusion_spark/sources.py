@@ -22,20 +22,28 @@ from pyspark.sql import functions as F
 
 
 def read_id_text_tsv(
-    spark: SparkSession, path: str, id_col: str = "doc_id", text_col: str = "text"
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ids_increment: bool = False,
 ) -> DataFrame:
     """queries.tsv / collection.tsv: `id⭾text`, no header (lleqa.py:343-345;
     the mMARCO collection uses the same shape). Quote/escape handling is
     DISABLED: the reference writes raw bytes (csv.writer with tab delimiter
     on newline-flattened text), so a leading '\"' in a document must not be
-    interpreted as a CSV quote character."""
-    return (
+    interpreted as a CSV quote character. ids_increment=True undoes the
+    reference writer's `id - 1` line-id quirk (see write_id_text_tsv)."""
+    df = (
         spark.read.option("sep", "\t")
         .option("quote", "")
         .option("escape", "")
         .schema(f"{id_col} long, {text_col} string")
         .csv(path)
     )
+    if ids_increment:
+        df = df.withColumn(id_col, F.col(id_col) + 1)
+    return df
 
 
 def read_qrels_tsv(spark: SparkSession, path: str) -> DataFrame:
@@ -58,14 +66,26 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     return reader.json(path)
 
 
-def write_id_text_tsv(df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text") -> None:
+def write_id_text_tsv(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ids_decrement: bool = False,
+) -> None:
     """id⭾text TSV sink; newlines flattened to spaces exactly like the
     reference writer (lleqa.py:345 `.replace('\\n',' ').replace('\\r',' ')`);
     tabs flattened too (the raw no-quote contract has no way to escape the
-    delimiter), quoting disabled to emit raw bytes."""
+    delimiter), quoting disabled to emit raw bytes.
+
+    ids_decrement=True reproduces the reference's ColBERT line-id quirk
+    byte-for-byte: `_to_disk` writes `text_id - 1` (lleqa.py:342-345), so
+    files produced here interleave with reference-produced ones. Compose
+    with read_id_text_tsv(ids_increment=True) for a lossless roundtrip."""
+    id_out = (F.col(id_col) - 1) if ids_decrement else F.col(id_col)
     (
         df.select(
-            F.col(id_col).cast("string"),
+            id_out.cast("string"),
             F.regexp_replace(F.col(text_col), r"[\n\r\t]", " ").alias("text"),
         )
         .write.mode("overwrite")
@@ -76,13 +96,18 @@ def write_id_text_tsv(df: DataFrame, path: str, id_col: str = "doc_id", text_col
     )
 
 
-def write_qrels_tsv(qrels: DataFrame, path: str, rel: int = 1) -> None:
-    """4-column TREC qrels sink (lleqa.py:340-341)."""
+def write_qrels_tsv(
+    qrels: DataFrame, path: str, rel: int = 1, ids_decrement: bool = False
+) -> None:
+    """4-column TREC qrels sink (lleqa.py:340-341). ids_decrement=True
+    writes `qid - 1` and `doc_id - 1` (the reference's `qid-1, pos_pid-1`
+    line-id convention, lleqa.py:340-343); rel is untouched."""
+    dec = F.lit(1) if ids_decrement else F.lit(0)
     (
         qrels.select(
-            F.col("qid").cast("string"),
+            (F.col("qid") - dec).cast("string"),
             F.lit("0"),
-            F.col("doc_id").cast("string"),
+            (F.col("doc_id") - dec).cast("string"),
             (F.col("rel") if "rel" in qrels.columns else F.lit(rel)).cast("string"),
         )
         .write.mode("overwrite")

