@@ -399,10 +399,16 @@ def lsh_cosine_topk_store(
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
         "sig", lsh_signature(F.col("qvec"), planes)
-    ).persist()  # evaluated twice: the sig-set collect + the bucket join
-    qsigs = [r["sig"] for r in q.select("sig").distinct().collect()]
+    )
+    # collect-then-literal instead of persist: the query frame is small by
+    # contract (it broadcasts below), and a persist here would leak cached
+    # blocks in a long-lived driver (ADVICE r2) — one collect feeds both
+    # the sig set and the join side
+    qrows = q.collect()
+    qsigs = sorted({r["sig"] for r in qrows})
+    q_lit = spark.createDataFrame(qrows, q.schema)
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("sig").isin(qsigs))
-    return _cosine_topk_ranked(F.broadcast(q).join(corpus, "sig"), k)
+    return _cosine_topk_ranked(F.broadcast(q_lit).join(corpus, "sig"), k)
 
 
 def write_ivf_store(
@@ -456,10 +462,14 @@ def ivf_cosine_topk_store(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     ).select(
         "qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid")
-    ).persist()  # evaluated twice: the probe-set collect + the list join
-    probe_set = [r["centroid"] for r in probes.select("centroid").distinct().collect()]
+    )
+    # collect-then-literal instead of persist (see lsh_cosine_topk_store):
+    # one collect feeds both the probe set and the broadcast join side
+    prows = probes.collect()
+    probe_set = sorted({r["centroid"] for r in prows})
+    probes_lit = spark.createDataFrame(prows, probes.schema)
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe_set))
-    return _cosine_topk_ranked(F.broadcast(probes).join(corpus, "centroid"), k)
+    return _cosine_topk_ranked(F.broadcast(probes_lit).join(corpus, "centroid"), k)
 
 
 def lsh_cosine_topk(

@@ -59,5 +59,11 @@ def curate_corpus(
     sh = dedup.shingles(stage2, n=shingle_n)
     near = dedup.jaccard_pairs(sh, min_jaccard=jaccard_threshold, candidates=cands)
     drops = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = stage2.join(drops, "doc_id", "left_anti")
-    return survivors.select("doc_id", "quality")
+    survivors = stage2.join(drops, "doc_id", "left_anti").select("doc_id", "quality")
+    # materialize the (small: doc_id, quality) result through the stage2
+    # cache, then RELEASE stage2 — repeated curate_corpus calls in a
+    # long-lived driver must not accumulate cached corpus blocks (ADVICE r2)
+    survivors = survivors.persist()
+    survivors.count()
+    stage2.unpersist()
+    return survivors

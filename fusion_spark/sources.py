@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_corpus_table(
+    spark: SparkSession, ref: str, fmt: str | None = None
+) -> DataFrame:
+    """The documents-table entry point (SURVEY §2 S1; north-rule source is an
+    Iceberg table of source-code repositories `(repo, path, commit, lang,
+    content)`). Dispatch:
+
+      * catalog table name (no '/', e.g. `prod.code.documents`) →
+        `spark.read.table(...)` — with an Iceberg catalog configured this IS
+        the Iceberg scan, inheriting snapshot isolation, hidden-partition
+        pruning, and column-pruned scans from the table format;
+      * `fmt="iceberg"` + path → `spark.read.format("iceberg").load(...)`
+        (requires the Iceberg runtime jars on the cluster);
+      * otherwise → parquet directory/file (the sandbox stand-in — same
+        schema contract, same plans above the scan).
+
+    Every downstream operator sees an identical DataFrame either way; the
+    table format only changes the scan node."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(ref)
+    if "/" not in ref:
+        return spark.read.table(ref)
+    return spark.read.parquet(ref)
+
+
 def read_id_text_tsv(
     spark: SparkSession,
     path: str,

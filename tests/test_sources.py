@@ -148,3 +148,22 @@ def test_reference_porter_mode_pipeline(spark):
     # rest Porter-stemmed then lowercased
     assert out[1] == ["run", "poni", "fall"]
     assert out[2] == []
+
+
+def test_read_corpus_table_dispatch(spark, tmp_path):
+    """read_corpus_table: catalog-name refs go through spark.read.table
+    (the Iceberg path on a configured cluster); path refs read parquet —
+    identical DataFrames above the scan."""
+    from fusion_spark.sources import read_corpus_table
+
+    docs = spark.createDataFrame(
+        [("o/r", "a.py", "c1", "python", "def f(): pass")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    p = str(tmp_path / "docs_pq")
+    docs.write.parquet(p)
+    via_path = read_corpus_table(spark, p)
+    docs.createOrReplaceTempView("corpus_tbl")
+    via_table = read_corpus_table(spark, "corpus_tbl")
+    assert sorted(map(tuple, via_path.collect())) == sorted(map(tuple, via_table.collect()))
+    assert via_path.schema == via_table.schema
