@@ -130,6 +130,8 @@ def banded_candidate_pairs(
     unchanged; only direct pair enumeration inside mega-buckets is
     star-shaped. Use `oversized_buckets` to audit which buckets were capped.
     max_bucket_size=None disables the guard."""
+    from pyspark.sql import Window
+
     out_sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for kc in key_cols:
@@ -137,14 +139,21 @@ def banded_candidate_pairs(
     if max_bucket_size is None:
         pairs = banded.alias("a").join(banded.alias("b"), cond).select(*out_sel)
         return pairs.distinct() if distinct else pairs
-    sizes = banded.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_bucket_n"), F.min(id_col).alias("_rep")
+    # bucket size/representative via WINDOW functions (not agg + re-join):
+    # every branch below (small-a, small-b, star) then shares the IDENTICAL
+    # Exchange(hash(key_cols)) + Window subtree, so Spark's ReuseExchange
+    # computes the (possibly expensive) upstream banding lineage ONCE, and
+    # the small×small self-join reuses the same partitioning — the guarded
+    # plan costs the same shuffle as the unguarded one
+    w = Window.partitionBy(*key_cols)
+    tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min(id_col).over(w)
     )
-    tagged = banded.join(sizes, key_cols)
     small = tagged.filter(F.col("_bucket_n") <= max_bucket_size).select(*banded.columns)
-    big = tagged.filter(F.col("_bucket_n") > max_bucket_size)
-    star = big.filter(F.col(id_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    star = (
+        tagged.filter(F.col("_bucket_n") > max_bucket_size)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     pairs = small.alias("a").join(small.alias("b"), cond).select(*out_sel).unionByName(star)
     return pairs.distinct() if distinct else pairs
