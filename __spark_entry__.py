@@ -307,6 +307,75 @@ SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
 """
 
 
+def _split_sql(weights: dict[str, float], seed: int = 42, buckets: int = 1000) -> str:
+    """DuckDB mirror of corpus.stratified_split: identical md5-hex bucket
+    (first 8 hex chars → int via per-nibble strpos — DuckDB has no conv()),
+    identical sorted-name cumulative floor thresholds."""
+    total = sum(weights.values())
+    names = sorted(weights)
+    bucket_expr = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    cases, cum = [], 0.0
+    for nm in names:
+        cum += weights[nm] / total
+        cases.append(f"WHEN b < {int(cum * buckets)} THEN '{nm}'")
+    return f"""
+WITH h8 AS (SELECT doc_id, substring(md5('{seed}:' || doc_id::VARCHAR), 1, 8) AS h FROM documents),
+bk AS (SELECT doc_id, (({bucket_expr})::BIGINT) % {buckets} AS b FROM h8)
+SELECT doc_id, CASE {" ".join(cases)} ELSE '{names[-1]}' END AS split FROM bk
+"""
+
+
+_SQL_REPETITION = r"""
+WITH {toks},
+lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents
+),
+ls AS (
+  SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         round(CASE WHEN len(ls) > 0
+                    THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                    ELSE 0.0 END, 6) AS dup_line_ratio
+  FROM lines
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tokens) >= 2
+                     THEN list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1])
+                     ELSE [] END) AS bigram
+  FROM toks
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_c FROM cnt GROUP BY 1)
+SELECT l.doc_id AS doc_id, l.n_lines AS n_lines, l.dup_line_ratio AS dup_line_ratio,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                  THEN a.top_c::DOUBLE / a.n_bigrams ELSE 0.0 END, 6) AS top_bigram_frac
+FROM ls l LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_SQL_TOKEN_BUDGET_SELECT = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+"""
+
+
 def _nce_values(distribution_len: int = 11) -> list[float]:
     """The 11 possible normal-curve-equivalent outputs for the fixed driver
     distribution — computed with the IDENTICAL float64 ops as the engine UDF
@@ -456,6 +525,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf_dir).select(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
         )
+
+    def repetition_stats(spark, sf_dir):
+        return textstats.repetition_stats(_docs(spark, sf_dir))
+
+    def doc_split(spark, sf_dir):
+        from fusion_spark.corpus import stratified_split
+
+        return stratified_split(
+            _docs(spark, sf_dir).select("doc_id"),
+            {"train": 0.8, "dev": 0.1, "test": 0.1},
+        )
+
+    def token_budget_select(spark, sf_dir):
+        from fusion_spark.pipeline import select_by_token_budget
+
+        docs = _docs(spark, sf_dir)
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        return select_by_token_budget(docs, {lang: 2000 for lang in langs})
 
     def fusion_nsf_arctan(spark, sf_dir):
         return _rounded(
@@ -741,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_nsf_percentile": fusion_nsf_percentile,
         "fusion_nsf_nce": fusion_nsf_nce,
         "sha256_invariant": sha256_invariant,
+        "repetition_stats": repetition_stats,
+        "doc_split": doc_split,
+        "token_budget_select": token_budget_select,
         "score_distribution": score_distribution,
         "ir_metrics": ir_metrics,
         "exact_dedup": exact_dedup,
@@ -977,6 +1067,9 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
         "lsh_cosine_topk": _lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3),
         "ivf_cosine_topk": _ivf_topk_sql(k=5, n_centroids=8, n_probe=3, n_queries=3),
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "repetition_stats": _SQL_REPETITION.format(toks=_SQL_TOKS),
+        "doc_split": _split_sql({"train": 0.8, "dev": 0.1, "test": 0.1}),
+        "token_budget_select": _SQL_TOKEN_BUDGET_SELECT,
         "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
         "embedding_quantize": """
 WITH v AS (

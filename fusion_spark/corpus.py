@@ -104,6 +104,48 @@ def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
 
 
+def stratified_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic hash split (train/dev/test and data-mixture shards):
+    bucket = first 8 md5 hex chars of `<seed>:<key>` mod `buckets`; split
+    boundaries are the cumulative weight thresholds. Properties a 100 TB
+    pipeline needs and `df.randomSplit` does NOT give:
+
+      * map-only — no shuffle, no sampling pass; appending data never
+        reassigns existing keys (stable membership under growth);
+      * engine-portable — the identical md5 formula runs in any SQL engine
+        (driver-gate oracle), so splits survive engine migrations;
+      * key-stable — the same key lands in the same split regardless of
+        partitioning, row order, or cluster size.
+
+    Output: df + `split` column. Weights are normalized; thresholds use
+    floor(cum·buckets) so every bucket maps to exactly one split."""
+    total = sum(weights.values())
+    names = sorted(weights)  # deterministic boundary order
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    cum = 0.0
+    for name in names:
+        cum += weights[name] / total
+        hi = int(cum * buckets)  # floor
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float-rounding guard: anything at/above the last threshold joins the
+    # final split (cum == 1.0 ⇒ hi == buckets, so this is only reachable
+    # when the normalized weights round below 1)
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
 def dedup_splits(train: DataFrame, dev: DataFrame, key_cols=("qid",)) -> DataFrame:
     """T2: drop train rows whose key appears in the dev split — the
     train/dev leakage guard (reference filters dev qids out of the mined

@@ -134,6 +134,66 @@ def token_budget(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals — the standard 'generated or
+    boilerplate junk' filters a pretraining curation pass runs:
+
+      * dup_line_ratio: 1 − distinct/total over non-empty trimmed lines
+        (pure JVM array expressions; 0.0 for docs with no non-empty line);
+      * top_bigram_frac: occurrences of the most frequent token bigram /
+        total bigrams (0.0 when < 2 tokens). The mode-of-bigrams needs a
+        (doc_id, bigram) aggregate — partial+final, doc_id in the key, so
+        a viral repeated bigram never concentrates on one reducer.
+
+    Output: (doc_id, n_lines, dup_line_ratio, n_bigrams, top_bigram_frac).
+    """
+    d = docs.select(doc_id_col, text_col)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    dup_ratio = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    line_stats = d.select(
+        F.col(doc_id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_ratio, 6).alias("dup_line_ratio"),
+    )
+
+    toks = tokenize(d, text_col=text_col, mode="simple")
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tokens", i.cast("int")), F.element_at("tokens", (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select(F.col(doc_id_col).alias("doc_id"), F.explode_outer(bigrams).alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias("n_bigrams"),
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(F.lit(0))).alias("top_c"),
+    )
+    bigram_stats = per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(
+            F.when(F.col("n_bigrams") > 0, F.col("top_c") / F.col("n_bigrams").cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+    return line_stats.join(bigram_stats, "doc_id")
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",

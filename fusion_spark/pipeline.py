@@ -24,6 +24,105 @@ from pyspark.sql import functions as F
 from fusion_spark.extras import dedup, textstats
 
 
+def select_by_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Data-mixture materializer: per group (language/source), keep documents
+    in priority order while the group's CUMULATIVE whitespace-token count
+    stays ≤ budgets[group] — the op that turns a mixture plan ("30 B tokens
+    of python, 5 B of go") into an actual corpus. Groups absent from
+    `budgets` are dropped (budget 0) — pass every group explicitly.
+
+    Priority order: (order_col DESC, doc_id ASC) when order_col is given
+    (e.g. a quality score — best docs first), else doc_id ASC. Selection
+    rule is prefix-by-cumsum: doc kept iff its INCLUSIVE running total ≤
+    budget, with the running total accumulating over all docs in order
+    (window-expressible — the driver-gate oracle mirrors it exactly).
+
+    Scale shape: the naive plan (`sum() OVER (PARTITION BY group ORDER BY
+    …)`) serializes each group through ONE reducer — a 50 TB `en` group is
+    a single-task scan. This implementation reuses the assign_doc_ids
+    parallel-prefix pattern instead: range-partition by (group, order),
+    per-(partition, group) token sums collected once (num_partitions ×
+    |groups| scalars), prefix offsets computed on the driver, and an Arrow
+    mapInPandas pass stamps running totals per partition — every partition
+    works concurrently, no per-group serial window.
+    Output: (doc_id, group_col, n_tokens, cum_tokens) for kept docs."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        *([F.col(order_col).alias("_ord")] if order_col else []),
+    )
+    order = ([F.col("_ord").desc()] if order_col else []) + [F.col("doc_id").asc()]
+    d = (
+        base.repartitionByRange(n, F.col("grp"), *order)
+        .sortWithinPartitions(F.col("grp"), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # count job and stamping job must see the same ranges
+    )
+    sums = d.groupBy("_pid", "grp").agg(F.sum("n_tokens").alias("s")).collect()
+    per_group: dict[str, dict[int, int]] = {}
+    for r in sums:
+        per_group.setdefault(r["grp"], {})[r["_pid"]] = r["s"]
+    offsets: dict[tuple[int, str], int] = {}
+    for grp, by_pid in per_group.items():
+        acc = 0
+        for pid in sorted(by_pid):
+            offsets[(pid, grp)] = acc
+            acc += by_pid[pid]
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(group_col, d.schema["grp"].dataType),
+            StructField("n_tokens", LongType()),
+            StructField("cum_tokens", LongType()),
+        ]
+    )
+    bud = dict(budgets)
+
+    def stamp(batches):
+        seen: dict[str, int] = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0]) if pid is None else pid
+            out_parts = []
+            # rows are sorted by (grp, order) — one contiguous run per group
+            for grp, g in pdf.groupby("grp", sort=False):
+                start = offsets[(pid, str(grp))] + seen.get(str(grp), 0)
+                cum = start + np.cumsum(g["n_tokens"].to_numpy(dtype=np.int64))
+                seen[str(grp)] = int(cum[-1]) - offsets[(pid, str(grp))]
+                keep = cum <= bud.get(str(grp), 0)
+                if keep.any():
+                    kept = g.loc[keep, ["doc_id", "grp", "n_tokens"]].rename(
+                        columns={"grp": group_col}
+                    )
+                    kept["cum_tokens"] = cum[keep]
+                    out_parts.append(kept)
+            if out_parts:
+                import pandas as pd
+
+                yield pd.concat(out_parts, ignore_index=True)
+
+    out = d.mapInPandas(stamp, schema=out_schema)
+    return out
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",

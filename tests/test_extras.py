@@ -436,3 +436,85 @@ def test_cosine_near_dups_guard_star_on_identical_family(spark):
     fam = [(r["vec_a"], r["vec_b"]) for r in out if r["vec_b"] < 100]
     assert len(fam) == 29 and all(a == 0 for a, _ in fam)
     assert all(r["cosine"] >= 0.99 for r in out)
+
+
+# ------------------- mixture ops: split / budget / repetition ----------------
+
+def test_stratified_split_deterministic_and_partition_invariant(spark):
+    from fusion_spark.corpus import stratified_split
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "dev": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in stratified_split(df, w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df.repartition(13), w).collect()
+    }
+    assert a == b  # key-stable under partitioning
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert abs(frac["train"] / 5000 - 0.8) < 0.03
+    assert abs(frac["dev"] / 5000 - 0.1) < 0.02
+    assert abs(frac["test"] / 5000 - 0.1) < 0.02
+    # stable membership under growth: the first 5000 keys keep their split
+    big = {r["doc_id"]: r["split"] for r in stratified_split(
+        spark.range(10000).select(F.col("id").alias("doc_id")), w).collect()}
+    assert all(big[k] == v for k, v in a.items())
+
+
+def test_repetition_stats_hand_example(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab → top 3/5
+            (2, "x\nx\n\n y \nx"),        # lines x,x,y,x → distinct 2/4
+            (3, "one"),                   # no bigrams
+            (4, ""),                      # nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert out[1]["n_bigrams"] == 5 and out[1]["top_bigram_frac"] == pytest.approx(0.6)
+    assert out[2]["n_lines"] == 4 and out[2]["dup_line_ratio"] == pytest.approx(0.5)
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_ratio"] == 0.0
+
+
+def test_select_by_token_budget_matches_window_reference(spark):
+    """The parallel-prefix implementation must equal the naive per-group
+    cumsum window (the semantics), including the quality-ordered variant
+    and exact-boundary docs."""
+    from pyspark.sql import Window
+
+    from fusion_spark.pipeline import select_by_token_budget
+
+    rows = [
+        (i, ["go", "py", "rs"][i % 3], " ".join(["tok"] * (1 + i % 7)), float((i * 31) % 11))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string, q double")
+    budgets = {"go": 120, "py": 75, "rs": 0}
+
+    def reference(order_cols):
+        w = Window.partitionBy("lang").orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ref = docs.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+"))).withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w)
+        )
+        m = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+        return {
+            (r["doc_id"], r["lang"], r["n_tokens"], r["cum_tokens"])
+            for r in ref.filter(F.col("cum_tokens") <= m[F.col("lang")]).collect()
+        }
+
+    got_plain = {
+        tuple(r) for r in select_by_token_budget(docs, budgets, num_partitions=7).collect()
+    }
+    assert got_plain == reference([F.col("doc_id").asc()])
+    got_q = {
+        tuple(r)
+        for r in select_by_token_budget(docs, budgets, order_col="q", num_partitions=7).collect()
+    }
+    assert got_q == reference([F.col("q").desc(), F.col("doc_id").asc()])
+    assert len(got_q) > 0 and all(lang != "rs" for _, lang, _, _ in got_q)
