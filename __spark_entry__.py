@@ -581,6 +581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
         )
 
+    def dup_clusters(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        sigs = dedup.minhash_signatures(docs, n=3, num_hashes=4)
+        pairs = dedup.lsh_candidate_pairs(sigs, band_size=2)
+        return dedup.duplicate_clusters(pairs, nodes=docs.select("doc_id"))
+
     def lsh_candidates(spark, sf_dir):
         sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=4)
         return dedup.lsh_candidate_pairs(sigs, band_size=2)
@@ -836,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": exact_dedup,
         "minhash_signatures": minhash_signatures,
         "lsh_candidates": lsh_candidates,
+        "dup_clusters": dup_clusters,
         "jaccard_pairs": jaccard_pairs,
         "cosine_topk": cosine_topk,
         "token_stats": token_stats,
@@ -1276,6 +1283,37 @@ banded AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+        # connected components via transitive label closure (the engine's
+        # iterative min-label propagation converges to the same fixpoint)
+        "dup_clusters": f"""
+WITH RECURSIVE {_SQL_TOKS}, {_SQL_SHINGLES.strip()},
+seeded AS (
+  SELECT doc_id, seed, md5('s' || seed || ':' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+),
+sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, (seed // 2) AS band,
+         list_aggregate(list_sort(list(minhash)), 'string_agg', '|') AS band_key
+  FROM sigs GROUP BY doc_id, (seed // 2)
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id AS lab FROM documents
+  UNION
+  SELECT e.a AS doc_id, r.lab AS lab FROM reach r JOIN edges e ON e.b = r.doc_id
+)
+SELECT doc_id, min(lab)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
 """,
         "jaccard_pairs": f"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES.strip()},

@@ -250,6 +250,68 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "n_shared", "jaccard")
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph — the standard
+    web-dedup primitive (union-find at cluster scale): every doc in a
+    near-dup component gets the component's min doc_id as `cluster_rep`,
+    so keep-one-representative decisions are TRANSITIVE (a~b, b~c ⇒ one
+    survivor among {a,b,c}), unlike the greedy drop-doc_b-of-each-pair.
+
+    Algorithm: iterative min-label propagation (the classic MapReduce/
+    Pregel CC): labels start as doc_id; each round every node takes the
+    min of its own and its neighbors' labels; converges in O(component
+    diameter) rounds — with `banded_candidate_pairs`' star-shaped
+    mega-buckets the diameter is ≤ 2·bands, so a handful of rounds.
+    Each round is one join + one partial+final min aggregate (no
+    single-reducer stage); the label frame is localCheckpoint-ed eagerly
+    every round — iterative plans otherwise grow without bound, and the
+    convergence probe (a changed-label existence check) then runs on
+    materialized blocks instead of recomputing the whole chain. (On a
+    real cluster localCheckpoint blocks die with executors — swap for
+    reliable checkpointing on a long CC job.)
+
+    `pairs`: (doc_a, doc_b) undirected edges. `nodes`: optional (doc_id)
+    universe — isolated docs (no pair) appear with cluster_rep = doc_id;
+    without it only paired docs are returned.
+    Output: (doc_id, cluster_rep)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct()
+    if nodes is None:
+        universe = edges.select(F.col("src").alias("doc_id")).distinct()
+    else:
+        universe = nodes.select("doc_id").distinct()
+    labels = universe.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.select(F.col("doc_id").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id", F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lab").alias("cluster_rep"))
+
+
 def _simhash_one(tokens: list[str], bits: int = 60) -> int:
     """Per-doc reference formulation (kept as the test oracle for the
     vectorized batch kernel below)."""

@@ -518,3 +518,25 @@ def test_select_by_token_budget_matches_window_reference(spark):
     }
     assert got_q == reference([F.col("q").desc(), F.col("doc_id").asc()])
     assert len(got_q) > 0 and all(lang != "rs" for _, lang, _, _ in got_q)
+
+
+def test_duplicate_clusters_transitive_chain_star_isolated(spark):
+    """Connected components: a 5-node chain (diameter 4 — needs >1 label
+    round), a star, and isolated nodes; every member gets the component's
+    min id, unlike the greedy drop-doc_b rule."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),   # chain
+         (20, 25), (20, 26), (20, 27),             # star (rep 20)
+         (31, 30)],                                # reversed pair order
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [10, 11, 12, 13, 14, 20, 25, 26, 27, 30, 31, 99]],
+                                  "doc_id long")
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup.duplicate_clusters(pairs, nodes).collect()}
+    assert all(got[i] == 10 for i in (10, 11, 12, 13, 14))
+    assert all(got[i] == 20 for i in (20, 25, 26, 27))
+    assert got[30] == 30 and got[31] == 30
+    assert got[99] == 99  # isolated node keeps itself
+    # without the universe, only paired docs appear
+    got2 = {r["doc_id"]: r["cluster_rep"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert 99 not in got2 and got2[14] == 10
