@@ -132,14 +132,22 @@ def curate_corpus(
     shingle_n: int = 3,
     num_hashes: int = 4,
     band_size: int = 2,
+    near_dup_policy: str = "pairs",
 ) -> DataFrame:
     """Returns the curated (doc_id, quality) survivors:
 
       1. quality gate: round(quality, 6) >= min_quality;
       2. exact dedup: canonical (min doc_id) row per content hash;
       3. near-dup removal among the remainder: MinHash → banded LSH
-         candidates → exact Jaccard verify >= jaccard_threshold → drop the
-         larger doc_id of every verified pair.
+         candidates → exact Jaccard verify >= jaccard_threshold → then one
+         of two removal policies:
+         * "pairs" (default, driver-gated): drop the larger doc_id of every
+           verified pair — keeps ≥1 representative per duplicate CHAIN but
+           can keep several per chain when the verified pair set is not
+           transitively closed;
+         * "cc": connected components over the verified pairs
+           (dedup.duplicate_clusters) — exactly ONE survivor (the min
+           doc_id) per near-dup component, the web-scale keep-one policy.
     """
     d = docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -157,7 +165,13 @@ def curate_corpus(
     cands = dedup.lsh_candidate_pairs(sigs, band_size=band_size)
     sh = dedup.shingles(stage2, n=shingle_n)
     near = dedup.jaccard_pairs(sh, min_jaccard=jaccard_threshold, candidates=cands)
-    drops = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    if near_dup_policy == "cc":
+        clusters = dedup.duplicate_clusters(near.select("doc_a", "doc_b"))
+        drops = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    elif near_dup_policy == "pairs":
+        drops = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near_dup_policy {near_dup_policy}")
     survivors = stage2.join(drops, "doc_id", "left_anti").select("doc_id", "quality")
     # materialize the (small: doc_id, quality) result through the stage2
     # cache, then RELEASE stage2 — repeated curate_corpus calls in a

@@ -540,3 +540,25 @@ def test_duplicate_clusters_transitive_chain_star_isolated(spark):
     # without the universe, only paired docs appear
     got2 = {r["doc_id"]: r["cluster_rep"] for r in dedup.duplicate_clusters(pairs).collect()}
     assert 99 not in got2 and got2[14] == 10
+
+
+def test_curate_corpus_cc_policy_one_survivor_per_component(spark):
+    """near_dup_policy='cc': exactly one survivor (min doc_id) per verified
+    near-dup component, and cc-survivors ⊆ pairs-survivors."""
+    from fusion_spark.pipeline import curate_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = (
+        [(i, base) for i in range(4)]  # exact family → canonical 0 survives stage2
+        + [(10 + i, base + f" tail{'x' * i}") for i in range(3)]  # near family
+        + [(100 + i, f"doc {i} " + " ".join(f"w{i}{j}" for j in range(30))) for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cc = {r["doc_id"] for r in curate_corpus(docs, min_quality=0.0, near_dup_policy="cc").collect()}
+    pairs = {r["doc_id"] for r in curate_corpus(docs, min_quality=0.0).collect()}
+    assert cc <= pairs
+    # the near family {0, 10, 11, 12} (0 is the exact-canonical, textually
+    # near the 10x docs) keeps exactly its min member under cc
+    fam = {0, 10, 11, 12}
+    assert len(cc & fam) == 1 and min(fam) in cc
+    assert {100, 101, 102, 103, 104} <= cc
