@@ -537,6 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"train": 0.8, "dev": 0.1, "test": 0.1},
         )
 
+    def doc_chunks(spark, sf_dir):
+        from fusion_spark.corpus import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), max_tokens=32, overlap=8)
+
     def token_budget_select(spark, sf_dir):
         from fusion_spark.pipeline import select_by_token_budget
 
@@ -836,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha256_invariant": sha256_invariant,
         "repetition_stats": repetition_stats,
         "doc_split": doc_split,
+        "doc_chunks": doc_chunks,
         "token_budget_select": token_budget_select,
         "score_distribution": score_distribution,
         "ir_metrics": ir_metrics,
@@ -1076,6 +1082,19 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "repetition_stats": _SQL_REPETITION.format(toks=_SQL_TOKS),
         "doc_split": _split_sql({"train": 0.8, "dev": 0.1, "test": 0.1}),
+        "doc_chunks": f"""
+WITH {_SQL_TOKS},
+nch AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         1 + ceil(greatest(len(tokens) - 32, 0) / 24.0)::INT AS m
+  FROM toks WHERE len(tokens) > 0
+),
+ix AS (SELECT doc_id, tokens, n, unnest(range(0, m)) AS i FROM nch)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       array_to_string(list_slice(tokens, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+       least(32, n - i * 24)::BIGINT AS n_tokens
+FROM ix
+""",
         "token_budget_select": _SQL_TOKEN_BUDGET_SELECT,
         "embedding_near_dups": _near_dups_sql(min_cosine=0.4, n_bands=8, band_planes=4, dim=64),
         "embedding_quantize": """

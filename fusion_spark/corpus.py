@@ -104,6 +104,51 @@ def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking — split long documents into overlapping
+    token windows (the pretraining prep step between curation and
+    tokenizer packing). Chunk i covers tokens [i·stride, i·stride +
+    max_tokens) with stride = max_tokens − overlap;
+    n_chunks = 1 + ⌈max(n − max_tokens, 0) / stride⌉ (so every token is in
+    ≥1 chunk and the tail chunk keeps ≥ overlap tokens); token-less docs
+    produce no rows. Pure JVM whole-stage codegen — transform(sequence)
+    builds the windows, no UDF, no shuffle (chunking is embarrassingly
+    row-local; output partitioning inherits the input's).
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    from fusion_spark.tokenize import tokenize
+
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    n = F.size("tokens")
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - max_tokens, F.lit(0)) / F.lit(float(stride))
+    ).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice("tokens", i * stride + 1, max_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(max_tokens), n - i * stride).cast("long").alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:long,chunk_text:string,n_tokens:long>>"))
+    return toks.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
 def stratified_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -562,3 +562,23 @@ def test_curate_corpus_cc_policy_one_survivor_per_component(spark):
     fam = {0, 10, 11, 12}
     assert len(cc & fam) == 1 and min(fam) in cc
     assert {100, 101, 102, 103, 104} <= cc
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from fusion_spark.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"]) for r in out.collect()}
+    # n=10, stride=2 → 1 + ceil(6/2) = 4 chunks at starts 0,2,4,6
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b", 2)  # short doc → one short chunk
+    assert not any(d == 3 for d, _ in rows)  # empty doc → no chunks
+    # every token of doc 1 appears in ≥1 chunk
+    covered = set(" ".join(t for (d, _), (t, _) in rows.items() if d == 1).split())
+    assert covered == {f"t{i}" for i in range(10)}
