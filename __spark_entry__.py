@@ -537,6 +537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {"train": 0.8, "dev": 0.1, "test": 0.1},
         )
 
+    def unigram_logprob(spark, sf_dir):
+        return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+    def contamination(spark, sf_dir):
+        from fusion_spark.pipeline import contamination_report
+
+        return contamination_report(_docs(spark, sf_dir), _queries_df(spark), n=3)
+
     def doc_chunks(spark, sf_dir):
         from fusion_spark.corpus import chunk_documents
 
@@ -842,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition_stats,
         "doc_split": doc_split,
         "doc_chunks": doc_chunks,
+        "unigram_logprob": unigram_logprob,
+        "contamination": contamination,
         "token_budget_select": token_budget_select,
         "score_distribution": score_distribution,
         "ir_metrics": ir_metrics,
@@ -1082,6 +1092,37 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "repetition_stats": _SQL_REPETITION.format(toks=_SQL_TOKS),
         "doc_split": _split_sql({"train": 0.8, "dev": 0.1, "test": 0.1}),
+        "unigram_logprob": f"""
+WITH {_SQL_TOKS},
+occ AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+tf AS (SELECT term, count(*) AS c FROM occ GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM tf),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(-log10(tf.c / tot.t)) AS alp
+  FROM occ JOIN tf USING (term), tot GROUP BY doc_id
+)
+SELECT toks.doc_id AS doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(s.alp, 0.0), 6) AS avg_neg_logprob
+FROM toks LEFT JOIN scored s ON toks.doc_id = s.doc_id
+""",
+        "contamination": f"""
+WITH {_SQL_TOKS}, {_SQL_SHINGLES.strip()},
+q(qid, question) AS (VALUES {_QS_VALUES}),
+qtoks AS (
+  SELECT qid, list_filter(string_split_regex(trim(lower(question)), '\\s+'), x -> x <> '') AS tokens
+  FROM q
+),
+qsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(tokens) - 2, 0) + 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+    FROM qtoks
+  )
+)
+SELECT doc_id, count(*) AS n_shared
+FROM sh JOIN qsh USING (shingle) GROUP BY doc_id
+""",
         "doc_chunks": f"""
 WITH {_SQL_TOKS},
 nch AS (

@@ -194,6 +194,45 @@ def repetition_stats(
     return line_stats.join(bigram_stats, "doc_id")
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-trained unigram-LM scoring (the CCNet-style fluency signal
+    without an external model): p(t) = corpus tf(t) / total tokens;
+    per doc the mean of −log10 p(t) over token OCCURRENCES. Low = stuffed
+    with corpus-common tokens (boilerplate); high = rare-token soup.
+
+    Plan: one exploded (doc_id, term) pass feeds BOTH the corpus tf
+    aggregate (partial+final on term) and the per-doc mean (partial+final
+    on doc_id, after an equi-join on term) — at 100 TB the vocab side of
+    that join is ≪ the corpus and Zipf-skewed on the hot terms, but the
+    per-doc aggregate keys on doc_id so hot terms spread across reducers.
+    Token-less docs are kept with n_tokens 0 and score 0.0.
+    Output: (doc_id, n_tokens, avg_neg_logprob)."""
+    toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
+    occ = toks.select(F.col(doc_id_col).alias("doc_id"), F.explode("tokens").alias("term"))
+    tf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("t"))
+    scored = (
+        occ.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log10(F.col("c") / F.col("t"))).alias("alp"),
+        )
+    )
+    return (
+        toks.select(F.col(doc_id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("alp", F.lit(0.0)), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",

@@ -123,6 +123,51 @@ def select_by_token_budget(
     return out
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    eval_text_col: str = "question",
+) -> DataFrame:
+    """Benchmark decontamination scan: (doc_id, n_shared) for every corpus
+    document sharing ≥1 token n-gram with the evaluation set — the check a
+    pretraining pipeline runs so eval questions don't leak into training
+    data. Plan: the eval side's distinct n-grams are tiny (benchmarks are
+    thousands of rows) and BROADCAST; the corpus side's distinct shingles
+    stream through the broadcast hash join and the count aggregates on
+    doc_id — the corpus never shuffles on the shingle."""
+    sh = dedup.shingles(docs, text_col=text_col, doc_id_col=doc_id_col, n=n)
+    eshr = dedup.shingles(
+        eval_df.select(F.monotonically_increasing_id().alias("doc_id"),
+                       F.col(eval_text_col).alias("text")),
+        n=n,
+    ).select("shingle").distinct()
+    return (
+        sh.join(F.broadcast(eshr), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    eval_text_col: str = "question",
+) -> DataFrame:
+    """Drop every document sharing ≥ min_shared token n-grams with the
+    eval set (anti-join on the contamination report — no corpus self-join)."""
+    flagged = contamination_report(
+        docs, eval_df, n, text_col, doc_id_col, eval_text_col
+    ).filter(F.col("n_shared") >= min_shared).select(F.col("doc_id").alias(doc_id_col))
+    return docs.join(flagged, doc_id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -582,3 +582,36 @@ def test_chunk_documents_windows_and_tail(spark):
     # every token of doc 1 appears in ≥1 chunk
     covered = set(" ".join(t for (d, _), (t, _) in rows.items() if d == 1).split())
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_unigram_logprob_common_vs_rare(spark):
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the rareword"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.unigram_logprob(docs).collect()}
+    # corpus: the×5, rareword×1, total 6 → doc1 = -log10(5/6); doc2 mixes a rare token
+    import math
+    assert out[1]["avg_neg_logprob"] == pytest.approx(-math.log10(5 / 6), abs=1e-6)
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_neg_logprob"] == 0.0
+
+
+def test_decontaminate_drops_eval_ngram_docs(spark):
+    from fusion_spark.pipeline import contamination_report, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "context before what is the capital of france and after"),
+            (2, "totally unrelated content about spark partitions here"),
+            (3, "the capital of france appears here too"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(1, "What is the CAPITAL of France ?")], "qid long, question string"
+    )
+    rep = {r["doc_id"]: r["n_shared"] for r in contamination_report(docs, evals, n=3).collect()}
+    assert set(rep) == {1, 3} and rep[1] > rep[3] >= 1  # doc2 untouched
+    clean = {r["doc_id"] for r in decontaminate(docs, evals, n=3).collect()}
+    assert clean == {2}
