@@ -334,6 +334,50 @@ def sessionize_stream(
     return spark.table(name)
 
 
+def dedup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    within_watermark: str | None = None,
+    ts_col: str = "ts",
+):
+    """Streaming exact dedup: as documents land, only the FIRST arrival of
+    each content hash passes through — the ingestion-time counterpart of
+    batch `dedup.drop_exact_duplicates` (a crawl re-fetching the same page
+    never re-enters the corpus). State = one row per distinct hash in the
+    state store (dropDuplicates); for unbounded feeds pass
+    `within_watermark` (e.g. "24 hours") to use
+    dropDuplicatesWithinWatermark, which expires hash state once the
+    watermark passes — bounded state, exact within the window (`ts_col`
+    must then exist in the schema). Returns the deduped rows collected
+    from a memory sink (availableNow backfill drive)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    hashed = stream.withColumn("text_hash", F.md5("text"))
+    if within_watermark is not None:
+        deduped = hashed.withWatermark(ts_col, within_watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    else:
+        deduped = hashed.dropDuplicates(["text_hash"])
+    _MEMSINK_COUNTER[0] += 1
+    name = f"dedup_stream_{_MEMSINK_COUNTER[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def load_incremental_index(
     spark: SparkSession, store_dir: str, variant: str = "bm25"
 ) -> BM25Index:

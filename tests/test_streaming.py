@@ -181,3 +181,35 @@ def test_sessionize_stream_late_event_within_watermark(spark, tmp_path):
     assert got == want
     # the late 10:02 event must be INSIDE the first session (n=3, sum=12)
     assert got[0][3] == 3 and got[0][4] == 12.0
+
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Streaming exact dedup == batch drop_exact_duplicates when arrival
+    order matches doc_id order: later re-fetches of seen content are
+    dropped ACROSS micro-batches (state store), not just within one."""
+    import glob
+    import shutil
+    import time
+
+    from fusion_spark.extras.dedup import drop_exact_duplicates
+    from fusion_spark.streaming import dedup_stream
+
+    schema = "doc_id long, text string"
+    files = [
+        [(1, "alpha content"), (2, "beta content")],
+        [(3, "alpha content"), (4, "gamma content")],   # 3 is a re-fetch of 1
+        [(5, "beta content"), (6, "alpha content")],    # both re-fetches
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(files):
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / f"{i:02d}.parquet")
+        time.sleep(0.05)  # file-source ordering is by modification time
+
+    out = dedup_stream(spark, str(landing), str(tmp_path / "ckpt"))
+    got = {r["doc_id"] for r in out.collect()}
+    batch = spark.createDataFrame([r for f in files for r in f], schema)
+    want = {r["doc_id"] for r in drop_exact_duplicates(batch).collect()}
+    assert got == want == {1, 2, 4}
