@@ -73,10 +73,14 @@ def select_by_token_budget(
         .withColumn("_pid", F.spark_partition_id())
         .persist()  # count job and stamping job must see the same ranges
     )
+    # all driver/kernel lookups key on str(group): the Arrow kernel sees
+    # group values through pandas (whose scalar types differ from Python's
+    # — numpy.int64 vs int), so raw-value keys would miss for non-string
+    # group columns
     sums = d.groupBy("_pid", "grp").agg(F.sum("n_tokens").alias("s")).collect()
     per_group: dict[str, dict[int, int]] = {}
     for r in sums:
-        per_group.setdefault(r["grp"], {})[r["_pid"]] = r["s"]
+        per_group.setdefault(str(r["grp"]), {})[r["_pid"]] = r["s"]
     offsets: dict[tuple[int, str], int] = {}
     for grp, by_pid in per_group.items():
         acc = 0
@@ -92,7 +96,7 @@ def select_by_token_budget(
             StructField("cum_tokens", LongType()),
         ]
     )
-    bud = dict(budgets)
+    bud = {str(k): int(v) for k, v in budgets.items()}
 
     def stamp(batches):
         seen: dict[str, int] = {}

@@ -615,3 +615,32 @@ def test_decontaminate_drops_eval_ngram_docs(spark):
     assert set(rep) == {1, 3} and rep[1] > rep[3] >= 1  # doc2 untouched
     clean = {r["doc_id"] for r in decontaminate(docs, evals, n=3).collect()}
     assert clean == {2}
+
+
+def test_select_by_token_budget_integer_group_column(spark):
+    """Non-string group columns (e.g. int shard ids) must work — the Arrow
+    kernel sees numpy scalars, so all lookups normalize through str()."""
+    from pyspark.sql import Window
+
+    from fusion_spark.pipeline import select_by_token_budget
+
+    rows = [(i, i % 2, " ".join(["w"] * (1 + i % 4))) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, shard int, text string")
+    got = {
+        tuple(r)
+        for r in select_by_token_budget(
+            docs, {0: 30, 1: 12}, group_col="shard", num_partitions=5
+        ).collect()
+    }
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = docs.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+"))).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    want = {
+        (r["doc_id"], r["shard"], r["n_tokens"], r["cum_tokens"])
+        for r in ref.collect()
+        if r["cum_tokens"] <= (30 if r["shard"] == 0 else 12)
+    }
+    assert got == want and len(got) > 0
