@@ -269,17 +269,17 @@ def wand_search(
     blocks must be decoded anyway (search_auto enforces this)."""
     from fusion_spark.scoring import query_terms
 
+    # persisted across BOTH collects (the qid census + the per-chunk row
+    # collects) so the tokenize UDF + termstats join run once, not twice on
+    # the common unchunked path; every read of qterms below is an eager
+    # driver collect, so the cache is released before returning
     qterms = query_terms(queries, mode=mode).join(
         packed.termstats.select("term", "idf"), "term"
-    )
+    ).persist()
     qids_all = sorted(r["qid"] for r in qterms.select("qid").distinct().collect())
     if len(qids_all) > max_queries_per_chunk:
         from functools import reduce
 
-        # each chunk's qterm rows are collected EAGERLY inside _wand_chunk
-        # (they ship by closure), so the cache can be released before the
-        # caller materializes the returned union
-        qterms = qterms.persist()
         chunks = [
             qids_all[i : i + max_queries_per_chunk]
             for i in range(0, len(qids_all), max_queries_per_chunk)
@@ -292,7 +292,9 @@ def wand_search(
         ]
         qterms.unpersist()
         return reduce(lambda a, d: a.unionByName(d), parts)
-    return _wand_chunk(packed, qterms, qids_all, k, k1, b)
+    out = _wand_chunk(packed, qterms, qids_all, k, k1, b)
+    qterms.unpersist()
+    return out
 
 
 def _wand_chunk(

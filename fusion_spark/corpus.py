@@ -172,6 +172,18 @@ def stratified_split(
     floor(cum·buckets) so every bucket maps to exactly one split."""
     total = sum(weights.values())
     names = sorted(weights)  # deterministic boundary order
+    # a split whose weight floors to zero buckets would be silently EMPTY
+    # (e.g. weight 0.0005 with buckets=1000) — validate loudly instead
+    cum, prev_hi = 0.0, 0
+    for name in names:
+        cum += weights[name] / total
+        hi = int(cum * buckets)
+        if hi <= prev_hi:
+            raise ValueError(
+                f"stratified_split: split '{name}' maps to zero of {buckets} "
+                "buckets (weight too small) — raise `buckets` or the weight"
+            )
+        prev_hi = hi
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 8), 16, 10)
         .cast("long")

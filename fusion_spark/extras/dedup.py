@@ -113,23 +113,33 @@ def banded_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = 10_000,
     distinct: bool = True,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Bucket-key self-join with a HOT-BUCKET GUARD — the shared candidate
     generator for every banded LSH path (MinHash bands, hyperplane bands,
     simhash prefixes).
 
     Buckets with ≤ max_bucket_size members pair all-vs-all (the normal LSH
-    candidate join). Oversized buckets — a viral near-dup family
-    (boilerplate licenses, templated pages) can land 10⁵–10⁷ members in ONE
-    bucket, whose self-join emits up to 10¹⁴ pairs on a single reducer —
-    switch to STAR pairing: every member pairs with the bucket's
-    representative (min id) only, linear in bucket size. This is not silent
-    truncation: transitive connectivity within the bucket is fully preserved
-    (any two members are connected through the representative), so
-    connected-components / keep-one-representative dedup decisions are
-    unchanged; only direct pair enumeration inside mega-buckets is
-    star-shaped. Use `oversized_buckets` to audit which buckets were capped.
-    max_bucket_size=None disables the guard."""
+    candidate join — COMPLETE within the bucket). Oversized buckets — a
+    viral near-dup family (boilerplate licenses, templated pages) can land
+    10⁵–10⁷ members in ONE bucket, whose self-join emits up to 10¹⁴ pairs
+    on a single reducer — switch to STAR pairing: every member pairs with
+    the bucket's representative (min id) only, linear in bucket size.
+
+    The exact recall contract of star pairing: on the CANDIDATE graph,
+    transitive connectivity inside the bucket is fully preserved (any two
+    members connect through the representative), so connected-components
+    over raw candidates is unchanged. When candidates are VERIFIED
+    downstream (Jaccard/hamming/cosine filters), member↔member pairs whose
+    members pass verification against EACH OTHER but not against the
+    representative lose their edge — i.e. recall inside an oversized
+    bucket is guaranteed only for coherent near-dup families (everything
+    similar to the representative), not for heterogeneous buckets where
+    the banding itself is too coarse. For pipelines that cannot accept
+    that, pass oversize_policy="error" to fail loudly when any bucket
+    exceeds the cap (then re-band with more/narrower bands), and use
+    `oversized_buckets` to audit. max_bucket_size=None disables the
+    guard."""
     from pyspark.sql import Window
 
     out_sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
@@ -145,15 +155,34 @@ def banded_candidate_pairs(
     # computes the (possibly expensive) upstream banding lineage ONCE, and
     # the small×small self-join reuses the same partitioning — the guarded
     # plan costs the same shuffle as the unguarded one
+    if oversize_policy not in ("star", "error"):
+        raise ValueError(f"unknown oversize_policy {oversize_policy}")
     w = Window.partitionBy(*key_cols)
     tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w)).withColumn(
         "_rep", F.min(id_col).over(w)
     )
     small = tagged.filter(F.col("_bucket_n") <= max_bucket_size).select(*banded.columns)
+    big = tagged.filter(F.col("_bucket_n") > max_bucket_size)
+    if oversize_policy == "error":
+        # fail loudly instead of degrading recall: the representative column
+        # itself raises on the first oversized-bucket row evaluated (it is a
+        # USED output column, so the optimizer cannot prune the check; an
+        # empty big side raises nothing — exactly the wanted semantics)
+        rep_col = F.raise_error(
+            F.concat(
+                F.lit(
+                    "banded_candidate_pairs: bucket over max_bucket_size "
+                    f"({max_bucket_size}) with "
+                ),
+                F.col("_bucket_n").cast("string"),
+                F.lit(" members — re-band, or use oversize_policy='star'"),
+            )
+        ).cast(banded.schema[id_col].dataType)
+    else:
+        rep_col = F.col("_rep")
     star = (
-        tagged.filter(F.col("_bucket_n") > max_bucket_size)
-        .filter(F.col(id_col) != F.col("_rep"))
-        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        big.filter(F.col(id_col) != F.col("_rep"))
+        .select(rep_col.alias("id_a"), F.col(id_col).alias("id_b"))
     )
     pairs = small.alias("a").join(small.alias("b"), cond).select(*out_sel).unionByName(star)
     return pairs.distinct() if distinct else pairs
@@ -288,6 +317,7 @@ def duplicate_clusters(
     else:
         universe = nodes.select("doc_id").distinct()
     labels = universe.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels.select(F.col("doc_id").alias("src"), "lab"), "src")
@@ -308,7 +338,17 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent non-converged return would split components and let extra
+        # duplicates survive with no signal — fail loudly instead (a 20-round
+        # budget covers diameter-20 components; verified-pair chains longer
+        # than that are rare but possible, so the remedy is a bigger budget)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iters={max_iters} "
+            "rounds (component diameter exceeds the budget) — raise max_iters"
+        )
     return labels.select("doc_id", F.col("lab").alias("cluster_rep"))
 
 

@@ -73,14 +73,19 @@ def select_by_token_budget(
         .withColumn("_pid", F.spark_partition_id())
         .persist()  # count job and stamping job must see the same ranges
     )
-    # all driver/kernel lookups key on str(group): the Arrow kernel sees
-    # group values through pandas (whose scalar types differ from Python's
-    # — numpy.int64 vs int), so raw-value keys would miss for non-string
-    # group columns
+    # all driver/kernel lookups key on _gk(group): the Arrow kernel sees
+    # group values through pandas (numpy.int64 vs int, and NULL becomes
+    # None for objects but NaN for numerics), so raw-value or plain str()
+    # keys would miss for non-string or nullable group columns
+    import pandas as _pd
+
+    def _gk(v) -> str:
+        return "\0null" if v is None or (isinstance(v, float) and _pd.isna(v)) else str(v)
+
     sums = d.groupBy("_pid", "grp").agg(F.sum("n_tokens").alias("s")).collect()
     per_group: dict[str, dict[int, int]] = {}
     for r in sums:
-        per_group.setdefault(str(r["grp"]), {})[r["_pid"]] = r["s"]
+        per_group.setdefault(_gk(r["grp"]), {})[r["_pid"]] = r["s"]
     offsets: dict[tuple[int, str], int] = {}
     for grp, by_pid in per_group.items():
         acc = 0
@@ -96,7 +101,7 @@ def select_by_token_budget(
             StructField("cum_tokens", LongType()),
         ]
     )
-    bud = {str(k): int(v) for k, v in budgets.items()}
+    bud = {_gk(k): int(v) for k, v in budgets.items()}
 
     def stamp(batches):
         seen: dict[str, int] = {}
@@ -106,12 +111,15 @@ def select_by_token_budget(
                 continue
             pid = int(pdf["_pid"].iloc[0]) if pid is None else pid
             out_parts = []
-            # rows are sorted by (grp, order) — one contiguous run per group
-            for grp, g in pdf.groupby("grp", sort=False):
-                start = offsets[(pid, str(grp))] + seen.get(str(grp), 0)
+            # rows are sorted by (grp, order) — one contiguous run per group;
+            # dropna=False: NULL groups must flow through (pandas drops them
+            # by default, which would silently delete every null-group doc)
+            for grp, g in pdf.groupby("grp", sort=False, dropna=False):
+                k = _gk(grp)
+                start = offsets[(pid, k)] + seen.get(k, 0)
                 cum = start + np.cumsum(g["n_tokens"].to_numpy(dtype=np.int64))
-                seen[str(grp)] = int(cum[-1]) - offsets[(pid, str(grp))]
-                keep = cum <= bud.get(str(grp), 0)
+                seen[k] = int(cum[-1]) - offsets[(pid, k)]
+                keep = cum <= bud.get(k, 0)
                 if keep.any():
                     kept = g.loc[keep, ["doc_id", "grp", "n_tokens"]].rename(
                         columns={"grp": group_col}
@@ -123,7 +131,14 @@ def select_by_token_budget(
 
                 yield pd.concat(out_parts, ignore_index=True)
 
-    out = d.mapInPandas(stamp, schema=out_schema)
+    # materialize the (narrow: 4-column) selection and CUT its lineage with
+    # localCheckpoint, then release the corpus-scale frame: the offsets are
+    # only valid against the partitioning `d` was persisted with, so the
+    # result must never be re-derivable through an unpersisted (re-sampled)
+    # repartitionByRange — and repeated calls in a long-lived driver must
+    # not accumulate cached corpus blocks (ADVICE r2 cache-hygiene theme)
+    out = d.mapInPandas(stamp, schema=out_schema).localCheckpoint(eager=True)
+    d.unpersist()
     return out
 
 

@@ -28,7 +28,7 @@ def read_corpus_table(
     Iceberg table of source-code repositories `(repo, path, commit, lang,
     content)`). Dispatch:
 
-      * catalog table name (no '/', e.g. `prod.code.documents`) →
+      * catalog table name (e.g. `prod.code.documents`) →
         `spark.read.table(...)` — with an Iceberg catalog configured this IS
         the Iceberg scan, inheriting snapshot isolation, hidden-partition
         pruning, and column-pruned scans from the table format;
@@ -37,11 +37,19 @@ def read_corpus_table(
       * otherwise → parquet directory/file (the sandbox stand-in — same
         schema contract, same plans above the scan).
 
+    A ref is treated as a PATH when it contains a path separator, names an
+    existing local file/dir, or ends in .parquet — a bare relative
+    filename like `docs.parquet` must not be misrouted into the catalog.
     Every downstream operator sees an identical DataFrame either way; the
     table format only changes the scan node."""
+    import os as _os
+
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(ref)
-    if "/" not in ref:
+    looks_like_path = (
+        "/" in ref or "\\" in ref or ref.endswith(".parquet") or _os.path.exists(ref)
+    )
+    if not looks_like_path:
         return spark.read.table(ref)
     return spark.read.parquet(ref)
 

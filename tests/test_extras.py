@@ -644,3 +644,45 @@ def test_select_by_token_budget_integer_group_column(spark):
         if r["cum_tokens"] <= (30 if r["shard"] == 0 else 12)
     }
     assert got == want and len(got) > 0
+
+
+def test_hot_bucket_guard_error_policy_raises(spark):
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    fam = [(i, 0, "hotkey") for i in range(30)]
+    banded = spark.createDataFrame(fam, "doc_id long, band int, band_key string")
+    strict = dedup.banded_candidate_pairs(
+        banded, ["band", "band_key"], "doc_id", max_bucket_size=10, oversize_policy="error"
+    )
+    with pytest.raises(Exception, match="max_bucket_size"):
+        strict.collect()
+    # sub-cap buckets pass untouched under the error policy
+    ok = dedup.banded_candidate_pairs(
+        spark.createDataFrame(fam[:3], "doc_id long, band int, band_key string"),
+        ["band", "band_key"], "doc_id", max_bucket_size=10, oversize_policy="error",
+    )
+    assert ok.count() == 3
+
+
+def test_select_by_token_budget_null_group_not_dropped(spark):
+    from fusion_spark.pipeline import select_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "py", "a b c"), (2, None, "d e"), (3, None, "f g h"), (4, "py", "i")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_token_budget(docs, {"py": 100, None: 4}, num_partitions=3).collect()
+    }
+    assert got[1] == 3 and got[4] == 4  # py group intact
+    assert got[2] == 2  # null group selected up to its budget...
+    assert 3 not in got  # ...and cut at the boundary, not silently dropped
+
+
+def test_stratified_split_zero_bucket_weight_raises(spark):
+    from fusion_spark.corpus import stratified_split
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="zero of 1000 buckets"):
+        stratified_split(df, {"train": 0.9995, "dev": 0.0005})
