@@ -540,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_logprob(spark, sf_dir):
         return textstats.unigram_logprob(_docs(spark, sf_dir))
 
+    def boilerplate_lines(spark, sf_dir):
+        return textstats.remove_boilerplate_lines(_docs(spark, sf_dir), max_line_df=25)
+
     def contamination(spark, sf_dir):
         from fusion_spark.pipeline import contamination_report
 
@@ -852,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "unigram_logprob": unigram_logprob,
         "contamination": contamination,
+        "boilerplate_lines": boilerplate_lines,
         "token_budget_select": token_budget_select,
         "score_distribution": score_distribution,
         "ir_metrics": ir_metrics,
@@ -1105,6 +1109,26 @@ SELECT toks.doc_id AS doc_id,
        coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
        round(coalesce(s.alp, 0.0), 6) AS avg_neg_logprob
 FROM toks LEFT JOIN scored s ON toks.doc_id = s.doc_id
+""",
+        "boilerplate_lines": """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+lines AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM ls),
+lx AS (SELECT doc_id, pos, arr[pos] AS line FROM lines),
+hot AS (
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lx WHERE trim(line) <> '')
+  GROUP BY line HAVING count(*) > 25
+),
+kept AS (SELECT doc_id, pos, line FROM lx ANTI JOIN hot USING (line)),
+rebuilt AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id)
+SELECT t.doc_id AS doc_id, coalesce(r.clean_text, '') AS clean_text,
+       t.n_lines::BIGINT AS n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """,
         "contamination": f"""
 WITH {_SQL_TOKS}, {_SQL_SHINGLES.strip()},

@@ -194,6 +194,58 @@ def repetition_stats(
     return line_stats.join(bigram_stats, "doc_id")
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_line_df: int = 30,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate LINE removal: a line occurring in
+    more than `max_line_df` distinct documents (nav bars, cookie banners,
+    license headers) is dropped from every document; the remaining lines
+    are reassembled IN ORDER. Blank lines are never removal candidates
+    (they would always be 'hot' and their removal would mangle formatting).
+
+    Plan: posexplode lines → per-line distinct-doc count (partial+final
+    agg; the (line, doc_id) pre-distinct keys on both so a line in 10⁸
+    docs is no single-reducer hotspot) → left-anti against the hot set →
+    ordered reassembly via array_sort(collect_list(struct(pos, line))).
+    Output: (doc_id, clean_text, n_lines, n_removed)."""
+    lines = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
 ) -> DataFrame:

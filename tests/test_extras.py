@@ -686,3 +686,19 @@ def test_stratified_split_zero_bucket_weight_raises(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="zero of 1000 buckets"):
         stratified_split(df, {"train": 0.9995, "dev": 0.0005})
+
+
+def test_remove_boilerplate_lines(spark):
+    """Hot lines (df > threshold) vanish from every doc; order preserved;
+    blank lines never removed; untouched docs byte-identical."""
+    footer = "copyright footer"
+    rows = [(i, f"unique {i}\n{footer}\n\nbody {i}") for i in range(10)] + [
+        (100, "totally unique\ndocument")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.remove_boilerplate_lines(docs, max_line_df=5).collect()}
+    assert out[3]["clean_text"] == "unique 3\n\nbody 3"  # footer gone, blank kept
+    assert out[3]["n_lines"] == 4 and out[3]["n_removed"] == 1
+    assert out[100]["clean_text"] == "totally unique\ndocument"
+    assert out[100]["n_removed"] == 0
