@@ -1110,12 +1110,15 @@ SELECT toks.doc_id AS doc_id,
        round(coalesce(s.alp, 0.0), 6) AS avg_neg_logprob
 FROM toks LEFT JOIN scored s ON toks.doc_id = s.doc_id
 """,
-        "boilerplate_lines": """
-WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+        "boilerplate_lines": r"""
+WITH ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr FROM documents),
 lines AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM ls),
 lx AS (SELECT doc_id, pos, arr[pos] AS line FROM lines),
 hot AS (
-  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lx WHERE trim(line) <> '')
+  SELECT line FROM (
+    SELECT DISTINCT line, doc_id FROM lx
+    WHERE regexp_replace(line, '\s', '', 'g') <> ''
+  )
   GROUP BY line HAVING count(*) > 25
 ),
 kept AS (SELECT doc_id, pos, line FROM lx ANTI JOIN hot USING (line)),
@@ -1124,7 +1127,7 @@ rebuilt AS (
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
 ),
-totals AS (SELECT doc_id, count(*) AS n_lines FROM lx GROUP BY doc_id)
+totals AS (SELECT doc_id, len(arr) AS n_lines FROM ls)
 SELECT t.doc_id AS doc_id, coalesce(r.clean_text, '') AS clean_text,
        t.n_lines::BIGINT AS n_lines,
        (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed

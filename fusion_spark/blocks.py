@@ -276,25 +276,27 @@ def wand_search(
     qterms = query_terms(queries, mode=mode).join(
         packed.termstats.select("term", "idf"), "term"
     ).persist()
-    qids_all = sorted(r["qid"] for r in qterms.select("qid").distinct().collect())
-    if len(qids_all) > max_queries_per_chunk:
-        from functools import reduce
+    try:
+        qids_all = sorted(r["qid"] for r in qterms.select("qid").distinct().collect())
+        if len(qids_all) > max_queries_per_chunk:
+            from functools import reduce
 
-        chunks = [
-            qids_all[i : i + max_queries_per_chunk]
-            for i in range(0, len(qids_all), max_queries_per_chunk)
-        ]
-        parts = [
-            _wand_chunk(
-                packed, qterms.filter(F.col("qid").between(c[0], c[-1])), c, k, k1, b
-            )
-            for c in chunks
-        ]
+            chunks = [
+                qids_all[i : i + max_queries_per_chunk]
+                for i in range(0, len(qids_all), max_queries_per_chunk)
+            ]
+            parts = [
+                _wand_chunk(
+                    packed, qterms.filter(F.col("qid").between(c[0], c[-1])), c, k, k1, b
+                )
+                for c in chunks
+            ]
+            return reduce(lambda a, d: a.unionByName(d), parts)
+        return _wand_chunk(packed, qterms, qids_all, k, k1, b)
+    finally:
+        # every read above is an eager collect, so releasing here is safe —
+        # and a failed census/chunk collect must not leak the cached frame
         qterms.unpersist()
-        return reduce(lambda a, d: a.unionByName(d), parts)
-    out = _wand_chunk(packed, qterms, qids_all, k, k1, b)
-    qterms.unpersist()
-    return out
 
 
 def _wand_chunk(

@@ -142,6 +142,13 @@ def banded_candidate_pairs(
     guard."""
     from pyspark.sql import Window
 
+    if oversize_policy not in ("star", "error"):
+        raise ValueError(f"unknown oversize_policy {oversize_policy}")
+    if max_bucket_size is None and oversize_policy == "error":
+        raise ValueError(
+            "oversize_policy='error' requires a max_bucket_size — with the "
+            "guard disabled the strict policy would silently never fire"
+        )
     out_sel = [F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")]
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for kc in key_cols:
@@ -155,8 +162,6 @@ def banded_candidate_pairs(
     # computes the (possibly expensive) upstream banding lineage ONCE, and
     # the small×small self-join reuses the same partitioning — the guarded
     # plan costs the same shuffle as the unguarded one
-    if oversize_policy not in ("star", "error"):
-        raise ValueError(f"unknown oversize_policy {oversize_policy}")
     w = Window.partitionBy(*key_cols)
     tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w)).withColumn(
         "_rep", F.min(id_col).over(w)
@@ -318,7 +323,10 @@ def duplicate_clusters(
         universe = nodes.select("doc_id").distinct()
     labels = universe.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1 rounds: a diameter-D component needs D propagation
+    # rounds PLUS one zero-change round to confirm convergence, so a
+    # max_iters budget genuinely covers diameter-max_iters components
+    for _ in range(max_iters + 1):
         neigh = (
             edges.join(labels.select(F.col("doc_id").alias("src"), "lab"), "src")
             .groupBy(F.col("dst").alias("doc_id"))

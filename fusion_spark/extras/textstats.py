@@ -209,14 +209,20 @@ def remove_boilerplate_lines(
     Plan: posexplode lines → per-line distinct-doc count (partial+final
     agg; the (line, doc_id) pre-distinct keys on both so a line in 10⁸
     docs is no single-reducer hotspot) → left-anti against the hot set →
-    ordered reassembly via array_sort(collect_list(struct(pos, line))).
+    ordered reassembly via array_sort(collect_list(struct(pos, line)));
+    line totals come map-only from the docs side (no second corpus-scale
+    aggregate), which also guarantees ONE OUTPUT ROW PER INPUT DOC —
+    NULL text is treated as "" (one blank line, kept). 'Blank' means
+    whitespace-only (\\s, not just spaces), so CRLF corpora keep their
+    "\\r" paragraph separators instead of having them classified hot.
     Output: (doc_id, clean_text, n_lines, n_removed)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(txt, "\n")).alias("pos", "line"),
     )
     hot = (
-        lines.filter(F.trim("line") != "")
+        lines.filter(F.regexp_replace("line", r"\s", "") != "")
         .select("line", "doc_id")
         .distinct()
         .groupBy("line")
@@ -234,7 +240,9 @@ def remove_boilerplate_lines(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    totals = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.size(F.split(txt, "\n")).alias("n_lines")
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(

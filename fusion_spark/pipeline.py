@@ -80,7 +80,15 @@ def select_by_token_budget(
     import pandas as _pd
 
     def _gk(v) -> str:
-        return "\0null" if v is None or (isinstance(v, float) and _pd.isna(v)) else str(v)
+        # NULL → sentinel; integral numerics → canonical int string: a
+        # nullable int64 column reaches the Arrow kernel as float64
+        # (5 → 5.0), while the driver collect sees Python int (5) — both
+        # must key as "5" or the kernel KeyErrors on mixed int+NULL groups
+        if v is None or (isinstance(v, float) and _pd.isna(v)):
+            return "\0null"
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
 
     sums = d.groupBy("_pid", "grp").agg(F.sum("n_tokens").alias("s")).collect()
     per_group: dict[str, dict[int, int]] = {}

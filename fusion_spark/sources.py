@@ -37,21 +37,23 @@ def read_corpus_table(
       * otherwise → parquet directory/file (the sandbox stand-in — same
         schema contract, same plans above the scan).
 
-    A ref is treated as a PATH when it contains a path separator, names an
-    existing local file/dir, or ends in .parquet — a bare relative
-    filename like `docs.parquet` must not be misrouted into the catalog.
-    Every downstream operator sees an identical DataFrame either way; the
-    table format only changes the scan node."""
-    import os as _os
-
+    Dispatch is PURELY LEXICAL (no filesystem probes — routing must not
+    depend on the driver's working directory): a ref containing a path
+    separator or ending in .parquet is a path; anything else is a catalog
+    name. Force a specific route with fmt="table" / fmt="parquet" when a
+    bare name is ambiguous. Every downstream operator sees an identical
+    DataFrame either way; the table format only changes the scan node."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(ref)
-    looks_like_path = (
-        "/" in ref or "\\" in ref or ref.endswith(".parquet") or _os.path.exists(ref)
-    )
-    if not looks_like_path:
+    if fmt == "table":
         return spark.read.table(ref)
-    return spark.read.parquet(ref)
+    if fmt == "parquet":
+        return spark.read.parquet(ref)
+    if fmt is not None:
+        raise ValueError(f"unknown fmt {fmt}")
+    if "/" in ref or "\\" in ref or ref.endswith(".parquet"):
+        return spark.read.parquet(ref)
+    return spark.read.table(ref)
 
 
 def read_id_text_tsv(

@@ -702,3 +702,56 @@ def test_remove_boilerplate_lines(spark):
     assert out[3]["n_lines"] == 4 and out[3]["n_removed"] == 1
     assert out[100]["clean_text"] == "totally unique\ndocument"
     assert out[100]["n_removed"] == 0
+
+
+def test_select_by_token_budget_nullable_int_group(spark):
+    """Mixed int+NULL group column: pyarrow hands the kernel float64
+    (5 -> 5.0) while the driver sees int — keys must still line up."""
+    from fusion_spark.pipeline import select_by_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, 5, "a b"), (2, None, "c d e"), (3, 5, "f"), (4, 7, "g h")],
+        "doc_id long, shard int, text string",
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_token_budget(
+            docs, {5: 3, None: 2, 7: 0}, group_col="shard", num_partitions=3
+        ).collect()
+    }
+    assert got == {1: 2, 3: 3, 2: 3} or got == {1: 2, 3: 3}  # doc2: 3 tokens > budget 2
+    assert got[1] == 2 and got[3] == 3 and 4 not in got
+
+
+def test_boilerplate_lines_crlf_and_null_text(spark):
+    """Whitespace-only lines (\\r from CRLF corpora) are never removal
+    candidates; NULL-text docs stay in the output as empty docs."""
+    rows = [(i, f"unique {i}\r\n\r\nshared footer line\r\nend {i}".replace("\r\n", "\n")
+             .replace("\n", "\r\n")) for i in range(8)]
+    # every doc: "unique i\r", "\r", "shared footer line\r", "end i" after \n-split
+    docs = spark.createDataFrame(rows + [(99, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.remove_boilerplate_lines(docs, max_line_df=4).collect()}
+    assert out[2]["clean_text"] == "unique 2\r\n\r\nend 2"  # footer gone, \r line kept
+    assert out[2]["n_removed"] == 1
+    assert out[99]["clean_text"] == "" and out[99]["n_lines"] == 1 and out[99]["n_removed"] == 0
+
+
+def test_duplicate_clusters_diameter_equals_budget_converges(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "doc_a long, doc_b long"
+    )  # 7-node chain, diameter 6
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dedup.duplicate_clusters(chain, max_iters=6).collect()}
+    assert all(v == 10 for v in got.values()) and len(got) == 7
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iters=3)
+
+
+def test_oversize_error_policy_requires_cap():
+    import pyspark  # noqa: F401
+
+    with pytest.raises(ValueError, match="requires a max_bucket_size"):
+        dedup.banded_candidate_pairs(None, ["b"], "doc_id", None, oversize_policy="error")
+    with pytest.raises(ValueError, match="unknown oversize_policy"):
+        dedup.banded_candidate_pairs(None, ["b"], "doc_id", 10, oversize_policy="eror")
