@@ -438,10 +438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def bm25_topk(spark, sf_dir):
-        return _rounded(_ranked(spark, sf_dir, "bm25", k=10, k1=2.5, b=0.2))
-
-    def bm25_topk_default_params(spark, sf_dir):
-        return _rounded(_ranked(spark, sf_dir, "bm25", k=10, k1=1.5, b=0.75))
+        """Both reference param sets under ONE gate entry — the tuned LLeQA
+        pair (k1=2.5, b=0.2, reference bm25.py:215) and the library default
+        (k1=1.5, b=0.75) distinguished by a `params` column. Merged (r3
+        verdict #1) so every operator family fits the driver's 50-query
+        artifact cap."""
+        tuned = _rounded(_ranked(spark, sf_dir, "bm25", k=10, k1=2.5, b=0.2))
+        dflt = _rounded(_ranked(spark, sf_dir, "bm25", k=10, k1=1.5, b=0.75))
+        return (
+            tuned.withColumn("params", F.lit("tuned"))
+            .unionByName(dflt.withColumn("params", F.lit("default")))
+            .select("params", "qid", "doc_id", "score", "rank")
+        )
 
     def bm25_zero_tail(spark, sf_dir):
         return _rounded(_ranked(spark, sf_dir, "bm25", k=15, k1=2.5, b=0.2, zero_tail=True))
@@ -481,45 +489,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tf = _ranked(spark, sf_dir, "tfidf", k=k).withColumn("system", F.lit("tfidf"))
         return bm.unionByName(tf).select("system", "qid", "doc_id", "score", "rank")
 
-    def fusion_rrf(spark, sf_dir):
-        return _rounded(fz.fuse(_legs(spark, sf_dir), method="rrf", return_topk=10))
-
-    def fusion_borda(spark, sf_dir):
-        return _rounded(fz.fuse(_legs(spark, sf_dir), method="bcf", return_topk=10))
-
-    def fusion_nsf_minmax(spark, sf_dir):
-        return _rounded(
-            fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="min-max",
-                    weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10)
-        )
-
-    def fusion_nsf_zscore(spark, sf_dir):
-        return _rounded(
-            fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="z-score",
-                    weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10)
-        )
+    def fusion_rank(spark, sf_dir):
+        """F2+F3 under one gate entry (`method` column): RRF-60 and the
+        reference's (n-rank+2)/n Borda quirk over the same two legs."""
+        out = None
+        for m in ("rrf", "bcf"):
+            leg = _rounded(fz.fuse(_legs(spark, sf_dir), method=m, return_topk=10))
+            leg = leg.withColumn("method", F.lit(m)).select(
+                "method", "qid", "doc_id", "score", "rank"
+            )
+            out = leg if out is None else out.unionByName(leg)
+        return out
 
     _PCT_DISTR = [i * 3.0 for i in range(11)]  # fixed 11-point distribution
 
-    def fusion_nsf_percentile(spark, sf_dir):
-        return _rounded(
-            fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="percentile-rank",
-                    weights={"bm25": 0.5, "tfidf": 0.5},
-                    distributions={"bm25": _PCT_DISTR, "tfidf": _PCT_DISTR},
-                    return_topk=10)
-        )
-
-    def fusion_nsf_nce(spark, sf_dir):
-        # oracle: the 11 possible Φ⁻¹ outputs for the fixed distribution are
-        # precomputed (same float64 ops as the UDF) and inlined as a VALUES
-        # lookup table — see _nce_values
-        return _rounded(
-            fz.fuse(_legs(spark, sf_dir), method="nsf",
-                    normalization="normal-curve-equivalent",
-                    weights={"bm25": 0.5, "tfidf": 0.5},
-                    distributions={"bm25": _PCT_DISTR, "tfidf": _PCT_DISTR},
-                    return_topk=10)
-        )
+    def fusion_nsf(spark, sf_dir):
+        """F4–F8 under one gate entry (`method` column): all five NSF score
+        normalizations (min-max ones-branch, z-score ddof=1, arctan,
+        percentile-rank float64-argmin, normal-curve-equivalent ÷100-quirk)
+        at equal weights over the same two legs. The NCE oracle inlines the
+        11 possible Φ⁻¹ outputs as a VALUES lookup — see _nce_values."""
+        needs_distr = {"percentile-rank", "normal-curve-equivalent"}
+        out = None
+        for m in ("min-max", "z-score", "arctan", "percentile-rank",
+                  "normal-curve-equivalent"):
+            kw = (
+                {"distributions": {"bm25": _PCT_DISTR, "tfidf": _PCT_DISTR}}
+                if m in needs_distr else {}
+            )
+            leg = _rounded(
+                fz.fuse(_legs(spark, sf_dir), method="nsf", normalization=m,
+                        weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10, **kw)
+            )
+            leg = leg.withColumn("method", F.lit(m)).select(
+                "method", "qid", "doc_id", "score", "rank"
+            )
+            out = leg if out is None else out.unionByName(leg)
+        return out
 
     def sha256_invariant(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -559,12 +565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
         return select_by_token_budget(docs, {lang: 2000 for lang in langs})
-
-    def fusion_nsf_arctan(spark, sf_dir):
-        return _rounded(
-            fz.fuse(_legs(spark, sf_dir), method="nsf", normalization="arctan",
-                    weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10)
-        )
 
     def score_distribution(spark, sf_dir):
         legs = _legs(spark, sf_dir).filter("system = 'bm25'")
@@ -772,39 +772,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket", "status", "n_docs", "n_postings", "variant", "mode"
         )
 
-    def simhash_dedup(spark, sf_dir):
-        return dedup.simhash(_docs(spark, sf_dir))
+    def doc_sketches(spark, sf_dir):
+        """SimHash + winnowing fingerprint under one gate entry, as
+        (doc_id, sketch, value string) rows — the simhash long is rendered
+        decimal, the winnowing 60-bit hex hashes exploded to scalars (the
+        driver canonicalizer factorizes column values and cannot hash list
+        cells)."""
+        docs = _docs(spark, sf_dir)
+        sim = dedup.simhash(docs).select(
+            "doc_id", F.lit("simhash").alias("sketch"),
+            F.col("simhash").cast("string").alias("value"),
+        )
+        fp = textstats.fingerprint(docs).select(
+            "doc_id", F.lit("winnow").alias("sketch"),
+            F.explode("fingerprints").alias("value"),
+        )
+        return sim.unionByName(fp)
 
-    def doc_fingerprint(spark, sf_dir):
-        # arrays exploded to scalar rows: the driver canonicalizer factorizes
-        # column values and cannot hash list cells
-        fp = textstats.fingerprint(_docs(spark, sf_dir))
-        return fp.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
-
-    def ivf_cosine_topk(spark, sf_dir):
-        # gated with lloyd_iters=0: seed centroids are the 8 lowest-vec_id
-        # embeddings — byte-identical rows in both engines, so assignment and
-        # probing are exactly SQL-expressible (the r2 rows-only excuse was
-        # the Lloyd-refined centroids' distributed float-mean accumulation
-        # order; that path stays pytest-covered: recall vs brute force).
+    def ann_topk(spark, sf_dir):
+        """Both ANN scale paths under one gate entry (`method` column):
+        hyperplane-LSH bucketed cosine top-k and IVF probed top-k. IVF is
+        gated with lloyd_iters=0: seed centroids are the 8 lowest-vec_id
+        embeddings — byte-identical rows in both engines, so assignment and
+        probing are exactly SQL-expressible (Lloyd-refined centroids'
+        distributed float-mean accumulation order stays pytest-covered:
+        recall vs brute force)."""
         embs = _embs(spark, sf_dir)
         qv = embs.filter("vec_id < 3").select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
-        return _rounded(
+        lsh = _rounded(similarity.lsh_cosine_topk(embs, qv, k=5, dim=64), "cosine", 5)
+        ivf = _rounded(
             similarity.ivf_cosine_topk(
                 embs, qv, k=5, n_centroids=8, n_probe=3, lloyd_iters=0
             ),
             "cosine",
             5,
         )
-
-    def lsh_cosine_topk(spark, sf_dir):
-        embs = _embs(spark, sf_dir)
-        qv = embs.filter("vec_id < 3").select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        return (
+            lsh.withColumn("method", F.lit("lsh"))
+            .unionByName(ivf.withColumn("method", F.lit("ivf")))
+            .select("method", "qid", "vec_id", "cosine", "rank")
         )
-        return _rounded(similarity.lsh_cosine_topk(embs, qv, k=5, dim=64), "cosine", 5)
 
     def multimodal_features(spark, sf_dir):
         from fusion_spark.extras import multimodal
@@ -830,25 +839,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").cast("double").alias("value"),
         )
 
+    # ≤ 50 entries — the driver's correctness-gate artifact caps at 50
+    # queries (r3 verdict #1: 57 registered entries silently dropped the
+    # last 7 from CORRECTNESS_r03.json). Families merged under `params`/
+    # `method`/`sketch` discriminator columns; _GATE_CAP asserted below.
     return {
         "postings_build": postings_build,
         "term_stats": term_stats,
         "doc_stats": doc_stats,
         "corpus_stats": corpus_stats,
         "bm25_topk": bm25_topk,
-        "bm25_topk_default_params": bm25_topk_default_params,
         "bm25_zero_tail": bm25_zero_tail,
         "tfidf_topk": tfidf_topk,
         "atire_topk": atire_topk,
         "bm25_topk_wand": bm25_topk_wand,
         "negatives_extraction": negatives_extraction,
-        "fusion_rrf": fusion_rrf,
-        "fusion_borda": fusion_borda,
-        "fusion_nsf_minmax": fusion_nsf_minmax,
-        "fusion_nsf_zscore": fusion_nsf_zscore,
-        "fusion_nsf_arctan": fusion_nsf_arctan,
-        "fusion_nsf_percentile": fusion_nsf_percentile,
-        "fusion_nsf_nce": fusion_nsf_nce,
+        "fusion_rank": fusion_rank,
+        "fusion_nsf": fusion_nsf,
         "sha256_invariant": sha256_invariant,
         "repetition_stats": repetition_stats,
         "doc_split": doc_split,
@@ -883,12 +890,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_grid_small": bm25_grid_small,
         "nsf_weight_grid_small": nsf_weight_grid_small,
         "index_lineage": index_lineage,
-        "simhash_dedup": simhash_dedup,
-        "doc_fingerprint": doc_fingerprint,
-        "ivf_cosine_topk": ivf_cosine_topk,
-        "lsh_cosine_topk": lsh_cosine_topk,
+        "doc_sketches": doc_sketches,
+        "ann_topk": ann_topk,
         "multimodal_features": multimodal_features,
     }
+
+
+# Driver correctness-gate artifact cap: every registered query must have a
+# row in CORRECTNESS_r{N}.json, so the registry must never outgrow this.
+_GATE_CAP = 50
 
 
 # ---------------------------------------------------------------------------
@@ -990,8 +1000,13 @@ agg AS (
 SELECT ts.term AS term, ts.df AS df, round({_IDF["bm25"]}, 6) AS idf FROM ts, corpus""",
         "doc_stats": f"WITH {_SQL_TOKS} SELECT doc_id, dl FROM tokd",
         "corpus_stats": f"WITH {_SQL_TOKS} SELECT n AS n_docs, round(avgdl, 6) AS avgdl FROM corpus",
-        "bm25_topk": _sql_search("bm25", 10, 2.5, 0.2),
-        "bm25_topk_default_params": _sql_search("bm25", 10, 1.5, 0.75),
+        "bm25_topk": f"""
+SELECT 'tuned' AS params, qid, doc_id, score, rank
+FROM ({_sql_search("bm25", 10, 2.5, 0.2)})
+UNION ALL
+SELECT 'default' AS params, qid, doc_id, score, rank
+FROM ({_sql_search("bm25", 10, 1.5, 0.75)})
+""",
         "bm25_zero_tail": _sql_search("bm25", 15, 2.5, 0.2, zero_tail=True),
         "tfidf_topk": _sql_search("tfidf", 10, 0.0, 0.0),
         "atire_topk": _sql_search("atire", 10, 1.5, 0.75),
@@ -1041,58 +1056,72 @@ SELECT db.bucket AS bucket, 'ok' AS status, db.n_docs AS n_docs,
        coalesce(pb.n_postings, 0) AS n_postings, 'bm25' AS variant, 'simple' AS mode
 FROM db LEFT JOIN pb ON db.bucket = pb.bucket
 """,
-        "fusion_rrf": fused("SELECT qid, doc_id, 1.0/(60 + rank) AS tscore FROM legs"),
-        "fusion_borda": fused(
-            """SELECT qid, doc_id,
-                      (count(*) OVER (PARTITION BY system, qid) - rank + 2.0)
-                      / count(*) OVER (PARTITION BY system, qid) AS tscore
-               FROM legs"""
+        "fusion_rank": " UNION ALL ".join(
+            f"SELECT '{m}' AS method, qid, doc_id, score, rank FROM ({fused(t)})"
+            for m, t in [
+                ("rrf", "SELECT qid, doc_id, 1.0/(60 + rank) AS tscore FROM legs"),
+                (
+                    "bcf",
+                    """SELECT qid, doc_id,
+                          (count(*) OVER (PARTITION BY system, qid) - rank + 2.0)
+                          / count(*) OVER (PARTITION BY system, qid) AS tscore
+                   FROM legs""",
+                ),
+            ]
         ),
-        "fusion_nsf_minmax": fused(
-            """SELECT qid, doc_id,
-                      CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
-                           ELSE (score - min(score) OVER w)
-                                / (max(score) OVER w - min(score) OVER w) END AS tscore
-               FROM legs WINDOW w AS (PARTITION BY system, qid)""",
-            weighted=True,
+        "fusion_nsf": " UNION ALL ".join(
+            f"SELECT '{m}' AS method, qid, doc_id, score, rank "
+            f"FROM ({fused(t, weighted=True)})"
+            for m, t in [
+                (
+                    "min-max",
+                    """SELECT qid, doc_id,
+                          CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+                               ELSE (score - min(score) OVER w)
+                                    / (max(score) OVER w - min(score) OVER w) END AS tscore
+                   FROM legs WINDOW w AS (PARTITION BY system, qid)""",
+                ),
+                (
+                    "z-score",
+                    """SELECT qid, doc_id,
+                          CASE WHEN coalesce(stddev_samp(score) OVER w, 0) = 0 THEN 0.0
+                               ELSE (score - avg(score) OVER w) / stddev_samp(score) OVER w END AS tscore
+                   FROM legs WINDOW w AS (PARTITION BY system, qid)""",
+                ),
+                ("arctan", "SELECT qid, doc_id, (2/pi()) * atan(0.1 * score) AS tscore FROM legs"),
+                (
+                    "percentile-rank",
+                    """SELECT qid, doc_id, tscore FROM (
+                     SELECT qid, doc_id, i / 11.0 AS tscore,
+                            row_number() OVER (PARTITION BY system, qid, doc_id
+                                               ORDER BY abs(d - score) ASC, i ASC) AS rn
+                     FROM legs CROSS JOIN (
+                       SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
+                     )
+                   ) WHERE rn = 1""",
+                ),
+                (
+                    "normal-curve-equivalent",
+                    f"""SELECT qid, doc_id, n.v AS tscore FROM (
+                     SELECT qid, doc_id, i,
+                            row_number() OVER (PARTITION BY system, qid, doc_id
+                                               ORDER BY abs(d - score) ASC, i ASC) AS rn
+                     FROM legs CROSS JOIN (
+                       SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
+                     )
+                   ) t JOIN (VALUES {", ".join(f"({i}, {v!r}::DOUBLE)" for i, v in enumerate(_nce_values()))})
+                     AS n(i, v) USING (i)
+                   WHERE rn = 1""",
+                ),
+            ]
         ),
-        "fusion_nsf_zscore": fused(
-            """SELECT qid, doc_id,
-                      CASE WHEN coalesce(stddev_samp(score) OVER w, 0) = 0 THEN 0.0
-                           ELSE (score - avg(score) OVER w) / stddev_samp(score) OVER w END AS tscore
-               FROM legs WINDOW w AS (PARTITION BY system, qid)""",
-            weighted=True,
-        ),
-        "fusion_nsf_arctan": fused(
-            "SELECT qid, doc_id, (2/pi()) * atan(0.1 * score) AS tscore FROM legs",
-            weighted=True,
-        ),
-        "fusion_nsf_percentile": fused(
-            """SELECT qid, doc_id, tscore FROM (
-                 SELECT qid, doc_id, i / 11.0 AS tscore,
-                        row_number() OVER (PARTITION BY system, qid, doc_id
-                                           ORDER BY abs(d - score) ASC, i ASC) AS rn
-                 FROM legs CROSS JOIN (
-                   SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
-                 )
-               ) WHERE rn = 1""",
-            weighted=True,
-        ),
-        "fusion_nsf_nce": fused(
-            f"""SELECT qid, doc_id, n.v AS tscore FROM (
-                 SELECT qid, doc_id, i,
-                        row_number() OVER (PARTITION BY system, qid, doc_id
-                                           ORDER BY abs(d - score) ASC, i ASC) AS rn
-                 FROM legs CROSS JOIN (
-                   SELECT i, i * 3.0 AS d FROM (SELECT unnest(range(0, 11)) AS i)
-                 )
-               ) t JOIN (VALUES {", ".join(f"({i}, {v!r}::DOUBLE)" for i, v in enumerate(_nce_values()))})
-                 AS n(i, v) USING (i)
-               WHERE rn = 1""",
-            weighted=True,
-        ),
-        "lsh_cosine_topk": _lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3),
-        "ivf_cosine_topk": _ivf_topk_sql(k=5, n_centroids=8, n_probe=3, n_queries=3),
+        "ann_topk": f"""
+SELECT 'lsh' AS method, qid, vec_id, cosine, rank
+FROM ({_lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3)})
+UNION ALL
+SELECT 'ivf' AS method, qid, vec_id, cosine, rank
+FROM ({_ivf_topk_sql(k=5, n_centroids=8, n_probe=3, n_queries=3)})
+""",
         "sha256_invariant": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "repetition_stats": _SQL_REPETITION.format(toks=_SQL_TOKS),
         "doc_split": _split_sql({"train": 0.8, "dev": 0.1, "test": 0.1}),
@@ -1552,23 +1581,8 @@ SELECT doc_id, n_tokens,
         * (0.5 + 0.5 * least(stopword_ratio * 5, 1.0)), 6) AS quality
 FROM m
 """,
-        "doc_fingerprint": f"""
-WITH {_SQL_TOKS},
-kg AS (
-  SELECT doc_id, pos,
-         substr(md5(concat_ws(' ', tokens[pos], tokens[pos+1], tokens[pos+2], tokens[pos+3])), 1, 15) AS h
-  FROM (SELECT doc_id, tokens, unnest(range(1, greatest(len(tokens) - 3, 0) + 1)) AS pos FROM toks)
-),
-wm AS (
-  SELECT doc_id,
-    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
-    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c,
-    count(*) OVER (PARTITION BY doc_id) AS nh
-  FROM kg
-)
-SELECT DISTINCT doc_id, m AS fingerprint FROM wm WHERE c = least(4, nh)
-""",
-        "simhash_dedup": f"""
+        "doc_sketches": f"""
+SELECT doc_id, 'simhash' AS sketch, simhash::VARCHAR AS value FROM (
 WITH {_SQL_TOKS},
 tokstream AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
 bits AS (
@@ -1584,6 +1598,24 @@ sim AS (
 )
 SELECT t.doc_id AS doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
 FROM toks t LEFT JOIN sim s ON t.doc_id = s.doc_id
+)
+UNION ALL
+SELECT doc_id, 'winnow' AS sketch, fingerprint AS value FROM (
+WITH {_SQL_TOKS},
+kg AS (
+  SELECT doc_id, pos,
+         substr(md5(concat_ws(' ', tokens[pos], tokens[pos+1], tokens[pos+2], tokens[pos+3])), 1, 15) AS h
+  FROM (SELECT doc_id, tokens, unnest(range(1, greatest(len(tokens) - 3, 0) + 1)) AS pos FROM toks)
+),
+wm AS (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c,
+    count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM kg
+)
+SELECT DISTINCT doc_id, m AS fingerprint FROM wm WHERE c = least(4, nh)
+)
 """,
         "multimodal_features": """
 WITH media AS (

@@ -253,20 +253,27 @@ def wand_search(
     b: float = 0.75,
     mode: str = "simple",
     max_queries_per_chunk: int = 1024,
+    max_chunks_per_plan: int = 64,
 ) -> DataFrame:
     """Top-k BM25 over the packed index with per-partition block skipping and
     bounded heaps. Rank/score identical to scoring.search (sparse mode):
     deterministic sorted-term summation, tie-break (score DESC, doc_id ASC).
 
-    Memory contract: the query-term table ships to executors via closure and
-    every partition keeps a k-slot heap PER QUERY, so both driver and
-    executor footprints are O(|chunk|·k), not O(|queries|·k) — batches
-    larger than `max_queries_per_chunk` are processed in qid chunks and
-    unioned (each chunk is one independent distributed pass over the
-    query-term blocks). Chunking is result-invariant: queries never interact.
-    Dense 10⁵+-query offline batches should go through scoring.search /
-    search_auto instead — one join plan beats many chunked passes when most
-    blocks must be decoded anyway (search_auto enforces this)."""
+    Memory contract: each chunk's query-term table ships to executors via
+    closure and every partition keeps a k-slot heap PER QUERY of that chunk,
+    so per-pass EXECUTOR footprint is O(|chunk|·k) — batches larger than
+    `max_queries_per_chunk` are processed in qid chunks and unioned (each
+    chunk is one independent distributed pass over the query-term blocks).
+    The DRIVER, however, holds every chunk's collected (qid, term, qtf, idf)
+    rows alive simultaneously through the union branches' closures —
+    O(|queries|·terms) — and each chunk adds a branch to one unionByName
+    plan, so a direct mega-batch call would build a 1000-branch plan before
+    any task runs. Batches needing more than `max_chunks_per_plan` chunks
+    therefore raise: dense 10⁵+-query offline batches belong on
+    scoring.search / search_auto — one join plan beats hundreds of chunked
+    passes when most blocks must be decoded anyway (search_auto routes on
+    exactly this bound). Chunking is result-invariant: queries never
+    interact."""
     from fusion_spark.scoring import query_terms
 
     # persisted across BOTH collects (the qid census + the per-chunk row
@@ -285,6 +292,16 @@ def wand_search(
                 qids_all[i : i + max_queries_per_chunk]
                 for i in range(0, len(qids_all), max_queries_per_chunk)
             ]
+            if len(chunks) > max_chunks_per_plan:
+                raise ValueError(
+                    f"wand_search: {len(qids_all)} queries need {len(chunks)} "
+                    f"chunks (> max_chunks_per_plan={max_chunks_per_plan}); a "
+                    "plan this wide holds every chunk's query-term table on "
+                    "the driver and unions hundreds of passes — route dense "
+                    "offline batches through scoring.search or "
+                    "scoring.search_auto (one join plan), or raise "
+                    "max_queries_per_chunk/max_chunks_per_plan deliberately"
+                )
             parts = [
                 _wand_chunk(
                     packed, qterms.filter(F.col("qid").between(c[0], c[-1])), c, k, k1, b

@@ -301,12 +301,14 @@ def duplicate_clusters(
     diameter) rounds — with `banded_candidate_pairs`' star-shaped
     mega-buckets the diameter is ≤ 2·bands, so a handful of rounds.
     Each round is one join + one partial+final min aggregate (no
-    single-reducer stage); the label frame is localCheckpoint-ed eagerly
-    every round — iterative plans otherwise grow without bound, and the
+    single-reducer stage); the label frame is checkpointed eagerly every
+    round — iterative plans otherwise grow without bound, and the
     convergence probe (a changed-label existence check) then runs on
-    materialized blocks instead of recomputing the whole chain. (On a
-    real cluster localCheckpoint blocks die with executors — swap for
-    reliable checkpointing on a long CC job.)
+    materialized blocks instead of recomputing the whole chain. When the
+    session has a checkpoint dir configured (sc.setCheckpointDir) the
+    rounds use RELIABLE df.checkpoint — localCheckpoint blocks die with
+    their executors, which on a real cluster kills a long CC job halfway;
+    without one, localCheckpoint (fine in local mode / short jobs).
 
     `pairs`: (doc_a, doc_b) undirected edges. `nodes`: optional (doc_id)
     universe — isolated docs (no pair) appear with cluster_rep = doc_id;
@@ -321,7 +323,13 @@ def duplicate_clusters(
         universe = edges.select(F.col("src").alias("doc_id")).distinct()
     else:
         universe = nodes.select("doc_id").distinct()
-    labels = universe.withColumn("lab", F.col("doc_id")).localCheckpoint(eager=True)
+
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    labels = _ckpt(universe.withColumn("lab", F.col("doc_id")))
     converged = False
     # max_iters + 1 rounds: a diameter-D component needs D propagation
     # rounds PLUS one zero-change round to confirm convergence, so a
@@ -332,10 +340,9 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neigh, "doc_id", "left")
             .select("doc_id", F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -55,14 +55,25 @@ def select_by_token_budget(
     works concurrently, no per-group serial window.
     Output: (doc_id, group_col, n_tokens, cum_tokens) for kept docs."""
     import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     spark = docs.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != F.lit(""))
+    # every driver/kernel lookup keys on `_gks`, the group value cast to
+    # string IN THE SPARK PLAN (NULL → sentinel): the Arrow kernel would
+    # otherwise see a nullable int64 group column as float64 (5 → 5.0,
+    # NULL → NaN) while the driver collect sees Python int — and group ids
+    # above 2^53 would silently collapse in float64, drawing the wrong
+    # budget. Casting once JVM-side gives driver and kernel byte-identical
+    # exact keys for any group type; the original `grp` column still
+    # carries the output value/type. (`budgets` keys are matched via
+    # Python str(), exact for string and integer group columns.)
+    _NULL_KEY = "\0null"
     base = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_KEY)).alias("_gks"),
         F.size(toks).cast("long").alias("n_tokens"),
         *([F.col(order_col).alias("_ord")] if order_col else []),
     )
@@ -73,27 +84,11 @@ def select_by_token_budget(
         .withColumn("_pid", F.spark_partition_id())
         .persist()  # count job and stamping job must see the same ranges
     )
-    # all driver/kernel lookups key on _gk(group): the Arrow kernel sees
-    # group values through pandas (numpy.int64 vs int, and NULL becomes
-    # None for objects but NaN for numerics), so raw-value or plain str()
-    # keys would miss for non-string or nullable group columns
-    import pandas as _pd
 
-    def _gk(v) -> str:
-        # NULL → sentinel; integral numerics → canonical int string: a
-        # nullable int64 column reaches the Arrow kernel as float64
-        # (5 → 5.0), while the driver collect sees Python int (5) — both
-        # must key as "5" or the kernel KeyErrors on mixed int+NULL groups
-        if v is None or (isinstance(v, float) and _pd.isna(v)):
-            return "\0null"
-        if isinstance(v, float) and v.is_integer():
-            return str(int(v))
-        return str(v)
-
-    sums = d.groupBy("_pid", "grp").agg(F.sum("n_tokens").alias("s")).collect()
+    sums = d.groupBy("_pid", "_gks").agg(F.sum("n_tokens").alias("s")).collect()
     per_group: dict[str, dict[int, int]] = {}
     for r in sums:
-        per_group.setdefault(_gk(r["grp"]), {})[r["_pid"]] = r["s"]
+        per_group.setdefault(r["_gks"], {})[r["_pid"]] = r["s"]
     offsets: dict[tuple[int, str], int] = {}
     for grp, by_pid in per_group.items():
         acc = 0
@@ -101,15 +96,22 @@ def select_by_token_budget(
             offsets[(pid, grp)] = acc
             acc += by_pid[pid]
 
+    # the kernel emits the STRING key, not the group value: a nullable int64
+    # group would round-trip through pandas as float64 and mangle values
+    # above 2^53 in the OUTPUT too — the exact string→original-type cast
+    # happens JVM-side after the stamping pass
+    grp_type = d.schema["grp"].dataType
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
-            StructField(group_col, d.schema["grp"].dataType),
+            StructField("_gks", StringType()),
             StructField("n_tokens", LongType()),
             StructField("cum_tokens", LongType()),
         ]
     )
-    bud = {_gk(k): int(v) for k, v in budgets.items()}
+    bud = {
+        (_NULL_KEY if k is None else str(k)): int(v) for k, v in budgets.items()
+    }
 
     def stamp(batches):
         seen: dict[str, int] = {}
@@ -119,19 +121,17 @@ def select_by_token_budget(
                 continue
             pid = int(pdf["_pid"].iloc[0]) if pid is None else pid
             out_parts = []
-            # rows are sorted by (grp, order) — one contiguous run per group;
-            # dropna=False: NULL groups must flow through (pandas drops them
-            # by default, which would silently delete every null-group doc)
-            for grp, g in pdf.groupby("grp", sort=False, dropna=False):
-                k = _gk(grp)
+            # rows are sorted by (grp, order) — one contiguous run per group
+            # and _gks is a function of grp; grouping on the JVM-cast string
+            # key (never NaN — NULLs are the sentinel) keys identically to
+            # the driver offsets
+            for k, g in pdf.groupby("_gks", sort=False):
                 start = offsets[(pid, k)] + seen.get(k, 0)
                 cum = start + np.cumsum(g["n_tokens"].to_numpy(dtype=np.int64))
                 seen[k] = int(cum[-1]) - offsets[(pid, k)]
                 keep = cum <= bud.get(k, 0)
                 if keep.any():
-                    kept = g.loc[keep, ["doc_id", "grp", "n_tokens"]].rename(
-                        columns={"grp": group_col}
-                    )
+                    kept = g.loc[keep, ["doc_id", "_gks", "n_tokens"]].copy()
                     kept["cum_tokens"] = cum[keep]
                     out_parts.append(kept)
             if out_parts:
@@ -145,7 +145,15 @@ def select_by_token_budget(
     # result must never be re-derivable through an unpersisted (re-sampled)
     # repartitionByRange — and repeated calls in a long-lived driver must
     # not accumulate cached corpus blocks (ADVICE r2 cache-hygiene theme)
-    out = d.mapInPandas(stamp, schema=out_schema).localCheckpoint(eager=True)
+    stamped = d.mapInPandas(stamp, schema=out_schema).select(
+        "doc_id",
+        F.when(F.col("_gks") == _NULL_KEY, F.lit(None).cast(grp_type))
+        .otherwise(F.col("_gks").cast(grp_type))
+        .alias(group_col),
+        "n_tokens",
+        "cum_tokens",
+    )
+    out = stamped.localCheckpoint(eager=True)
     d.unpersist()
     return out
 

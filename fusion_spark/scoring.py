@@ -196,8 +196,12 @@ def search_auto(
     1000-slot heaps is a join-scorer workload however selective each query
     is (wand_search would grind through hundreds of chunked passes), so
     batches over `wand_max_query_work` go straight to the one-plan JVM
-    scorer."""
-    if packed is not None and queries.count() * k <= wand_max_query_work and (
+    scorer. The routing count is BOUNDED — `limit(bound+1).count()` instead
+    of a full count() — so a query frame with expensive upstream lineage
+    pays at most bound+1 rows of it for routing, not a full materialization
+    (it only needs to know whether the batch EXCEEDS the bound)."""
+    query_bound = wand_max_query_work // max(k, 1)
+    if packed is not None and queries.limit(query_bound + 1).count() <= query_bound and (
         estimate_selectivity(index, queries, mode) < wand_threshold
     ):
         from fusion_spark.blocks import wand_search

@@ -67,7 +67,11 @@ def main():
         docs, text_col=args.text_col, doc_id_col=args.doc_id_col,
         min_quality=args.min_quality, near_dup_policy="cc",
     )
-    curated = docs.join(
+    # curate_corpus computes its own quality from text and ignores any
+    # existing column — drop a pre-existing one or the join duplicates it
+    # and select_by_token_budget(order_col="quality") hits an
+    # ambiguous-column AnalysisException
+    curated = docs.drop("quality").join(
         survivors.select(F.col("doc_id").alias(args.doc_id_col), "quality"),
         args.doc_id_col,
     )

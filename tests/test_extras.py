@@ -755,3 +755,69 @@ def test_oversize_error_policy_requires_cap():
         dedup.banded_candidate_pairs(None, ["b"], "doc_id", None, oversize_policy="error")
     with pytest.raises(ValueError, match="unknown oversize_policy"):
         dedup.banded_candidate_pairs(None, ["b"], "doc_id", 10, oversize_policy="eror")
+
+
+def test_unigram_logprob_zipf_head_preaggregated(spark):
+    """Planted Zipf head (one term = ~96% of occurrences): values stay
+    exact AND the vocab join consumes the (doc_id, term) pre-aggregate —
+    never the raw per-occurrence explode, whose hot-term rows would all
+    land in one `term` join partition at web scale (r3 verdict #3)."""
+    import math
+    import re
+
+    rows = [(i, "the " * 50 + f"u{i} v{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.unigram_logprob(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"Aggregate \[doc_id#\d+L?, term#\d+", plan), plan
+    total = 20 * 52  # 'the'×1000 + 40 singletons
+    want = -(50 * math.log10(1000 / total) + 2 * math.log10(1 / total)) / 52
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[3]["n_tokens"] == 52
+    assert got[3]["avg_neg_logprob"] == pytest.approx(want, abs=2e-6)
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured the CC rounds use RELIABLE
+    df.checkpoint (blocks survive executor loss on a real cluster — r3
+    verdict #5) and converge to the same fixpoint as localCheckpoint."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    want = {r["doc_id"]: r["cluster_rep"]
+            for r in dedup.duplicate_clusters(chain).collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {r["doc_id"]: r["cluster_rep"]
+               for r in dedup.duplicate_clusters(chain).collect()}
+    finally:
+        # reset the (set-only) checkpoint dir so other tests see None
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert got == want and all(v == 0 for v in got.values()) and len(got) == 6
+    assert sc.getCheckpointDir() is None
+
+
+def test_select_by_token_budget_group_ids_above_2_53(spark):
+    """Two bigint shard ids that COLLIDE in float64 (2^60, 2^60+1) must
+    stay distinct groups with distinct budgets, and come back exact in the
+    output — group keys travel as JVM-cast strings end to end, never
+    through pandas float64 (r3 advice #5). The NULL row forces pyarrow to
+    hand the kernel a float64 column, the exact failure mode."""
+    from fusion_spark.pipeline import select_by_token_budget
+
+    a, b = 1 << 60, (1 << 60) + 1
+    assert float(a) == float(b)  # the collapse the old keying suffered
+    docs = spark.createDataFrame(
+        [(1, a, "x y z"), (2, b, "p q"), (3, a, "r"), (4, b, "s t u"),
+         (5, None, "n n")],
+        "doc_id long, shard long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["cum_tokens"])
+        for r in select_by_token_budget(
+            docs, {a: 4, b: 2, None: 1}, group_col="shard", num_partitions=3
+        ).collect()
+    }
+    assert got == {1: (a, 3), 3: (a, 4), 2: (b, 2)}
