@@ -34,6 +34,11 @@ BASELINE.json input_hint). Three modes:
                    porter vs identity 88.8 % — i.e. the choice of
                    dictionary-free lemmatizer moves ~10 % of tokens, which
                    bounds how much any such stand-in can matter vs spaCy.
+  * ``reference_lemma_table`` — same pipeline with a frozen token→lemma
+                   LOOKUP at the plug-point (generate offline from public
+                   spaCy output; curated-irregulars fixture shipped) — the
+                   closest context-free stand-in for the reference's model
+                   lemmatizer, POS-ambiguous lemmas excluded by design.
   * ``code``     — Arrow `pandas_udf` for source code: identifier / number /
                    operator tokens, for the Iceberg source-code corpus shape.
 
@@ -225,15 +230,48 @@ _LEMMATIZERS = {
     "porter": lambda t: porter_stem(t.lower()),
 }
 
+# Frozen token→lemma lookup fixture for the `table` lemma mode: hand-curated
+# unambiguous English irregulars (lemmas a context-free lookup CAN state —
+# POS-dependent cases like "better"→good/well or "left"→leave/left are
+# deliberately excluded, since a token table cannot disambiguate them; the
+# reference's spaCy lemmatizer does, which is exactly the residual delta).
+# A production deployment regenerates this table offline from public spaCy
+# output over its own corpus vocabulary and passes it via `lemma_table`.
+LEMMA_TABLE_EN_SAMPLE: dict[str, str] = {
+    "am": "be", "is": "be", "are": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be", "has": "have", "had": "have",
+    "having": "have", "does": "do", "did": "do", "done": "do",
+    "went": "go", "gone": "go", "going": "go", "said": "say",
+    "says": "say", "made": "make", "took": "take", "taken": "take",
+    "saw": "see", "seen": "see", "came": "come", "ran": "run",
+    "running": "run", "wrote": "write", "written": "write",
+    "knew": "know", "known": "know", "thought": "think",
+    "brought": "bring", "bought": "buy", "found": "find",
+    "gave": "give", "given": "give", "got": "get", "gotten": "get",
+    "mice": "mouse", "geese": "goose", "feet": "foot", "teeth": "tooth",
+    "children": "child", "men": "man", "women": "woman", "people": "person",
+}
 
-def _reference_preprocess_one(text: str, stopwords: frozenset, lemma: str = "identity") -> list[str]:
+
+def _reference_preprocess_one(
+    text: str,
+    stopwords: frozenset,
+    lemma: str = "identity",
+    lemma_table: dict[str, str] | None = None,
+) -> list[str]:
     # Order matters and mirrors preprocessor.py:61-76: filter on the raw
     # (pre-lowercase) token, lemmatize (identity / S-stem / Porter at the
     # spaCy plug-point), join, lowercase, then the final whitespace split
     # the index sees (bm25.py:55). Porter assumes lowercase input, so the
     # porter mode lowercases the token before stemming (the pipeline
     # lowercases afterwards anyway, so only the stem rule sees a change).
-    lem = _LEMMATIZERS[lemma]
+    if lemma == "table":
+        # exact-token first (spaCy tables are cased), lowercase fallback,
+        # then pass-through — the plug-point stays total over any vocab
+        tbl = lemma_table or {}
+        lem = lambda t: tbl.get(t, tbl.get(t.lower(), t))  # noqa: E731
+    else:
+        lem = _LEMMATIZERS[lemma]
     kept = []
     for tok in text.split():
         if _PUNCT_RE.match(tok):
@@ -250,13 +288,20 @@ def make_reference_tokenizer(
     stopwords: frozenset = DEFAULT_STOPWORDS,
     stem: bool = False,
     lemma: str | None = None,
+    lemma_table: dict[str, str] | None = None,
 ):
     if lemma is None:
         lemma = "s_stem" if stem else "identity"
+    # the table ships inside the UDF closure — pickled once per task, fine
+    # for vocabulary-sized tables (≤ a few M entries); it never joins or
+    # shuffles corpus-side
+    table = dict(lemma_table) if lemma_table else None
 
     @F.pandas_udf(ArrayType(StringType()))
     def reference_tokens(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: _reference_preprocess_one(t, stopwords, lemma))
+        return texts.fillna("").map(
+            lambda t: _reference_preprocess_one(t, stopwords, lemma, table)
+        )
 
     return reference_tokens
 
@@ -286,9 +331,18 @@ def tokenize(
     out_col: str = "tokens",
     mode: str = "simple",
     stopwords: frozenset = DEFAULT_STOPWORDS,
+    lemma_table: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append an ``array<string>`` token column. ``simple`` stays entirely in
-    whole-stage codegen; the other modes are Arrow-batched pandas UDFs."""
+    whole-stage codegen; the other modes are Arrow-batched pandas UDFs.
+
+    ``reference_lemma_table`` runs the reference pipeline with a frozen
+    token→lemma LOOKUP at the spaCy plug-point (preprocessor.py:69-72): the
+    closest dictionary-free stand-in to the reference's model lemmatizer —
+    generate the table offline from public spaCy output over the corpus
+    vocabulary and pass it as ``lemma_table`` (defaults to the curated
+    irregulars fixture ``LEMMA_TABLE_EN_SAMPLE``). Context-free by design:
+    POS-ambiguous lemmas (better→good/well) remain the residual delta."""
     col = F.col(text_col)
     if mode == "simple":
         tok = simple_tokens(col)
@@ -298,6 +352,11 @@ def tokenize(
         tok = make_reference_tokenizer(stopwords, stem=True)(col)
     elif mode == "reference_porter":
         tok = make_reference_tokenizer(stopwords, lemma="porter")(col)
+    elif mode == "reference_lemma_table":
+        tok = make_reference_tokenizer(
+            stopwords, lemma="table",
+            lemma_table=lemma_table if lemma_table is not None else LEMMA_TABLE_EN_SAMPLE,
+        )(col)
     elif mode == "code":
         tok = make_code_tokenizer()(col)
     else:

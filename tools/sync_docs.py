@@ -1,0 +1,125 @@
+"""Generate the headline numbers in README/COVERAGE/BASELINE/BENCH from the
+artifacts instead of hand-copying them (count drift recurred three rounds —
+r3 verdict 'What's wrong #2').
+
+Facts computed here, injected between `<!-- sync:KEY -->…<!-- /sync:KEY -->`
+markers (the text between a marker pair is OWNED by this script — edit the
+surrounding prose, never the span):
+
+  gate       — N registered driver queries / N with a SQL oracle (from
+               __spark_entry__; also asserts the registry fits _GATE_CAP)
+  tests      — pytest collected-test count (pytest --collect-only -q)
+  bench      — headline numbers from the newest BENCH_r{N}.json (driver
+               artifact) in the repo root
+
+Usage: python tools/sync_docs.py [--check]
+  --check: exit 1 if any doc would change (CI/pre-commit guard) without
+  writing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+DOCS = ["README.md", "COVERAGE.md", "BASELINE.md", "BENCH.md"]
+
+
+def gate_facts() -> dict:
+    import __spark_entry__ as entry  # noqa: PLC0415
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) <= entry._GATE_CAP, (
+        f"queries() has {len(qs)} entries > gate cap {entry._GATE_CAP}: the "
+        "driver artifact would silently drop the tail (r3 verdict #1)"
+    )
+    missing = [k for k in qs if k not in oracles]
+    return {
+        "n_queries": len(qs),
+        "n_oracle": len(qs) - len(missing),
+        "n_rows_only": len(missing),
+        "cap": entry._GATE_CAP,
+    }
+
+
+def test_count() -> int:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        cwd=ROOT, capture_output=True, text=True, timeout=300,
+    )
+    m = re.search(r"(\d+) tests? collected", out.stdout)
+    if not m:  # pytest >= 8 prints "N tests collected" on the last line
+        raise RuntimeError(f"could not parse pytest collect output:\n{out.stdout[-2000:]}")
+    return int(m.group(1))
+
+
+def latest_bench() -> tuple[str, dict]:
+    files = glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+    if not files:
+        return "none", {}
+    f = max(files, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    with open(f) as fh:
+        return os.path.basename(f), json.load(fh).get("parsed", {})
+
+
+def spans(facts: dict) -> dict[str, str]:
+    g, t = facts["gate"], facts["tests"]
+    bname, b = facts["bench_name"], facts["bench"]
+    gate = (
+        f"{g['n_queries']} driver queries registered (cap {g['cap']}), "
+        f"{g['n_oracle']} with a full DuckDB SQL oracle, "
+        f"{g['n_rows_only']} rows-only"
+    )
+    tests = f"{t} tests"
+    if b:
+        q = b.get("queries", {})
+        sc = b.get("scaling", {})
+        bench = (
+            f"e2e {b.get('value')} s at sf{b.get('sf')} "
+            f"(index_build {q.get('index_build')} s, bm25 "
+            f"{b.get('bm25_ms_per_query')} ms/query, dedup "
+            f"{q.get('minhash_lsh_dedup')} s); scaling "
+            f"{sc.get('cores_low')}→{sc.get('cores_high')} cores "
+            f"efficiency {sc.get('efficiency')} — {bname}"
+        )
+    else:
+        bench = "no driver bench artifact yet"
+    return {"gate": gate, "tests": tests, "bench": bench}
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    facts = {"gate": gate_facts(), "tests": test_count()}
+    facts["bench_name"], facts["bench"] = latest_bench()
+    sp = spans(facts)
+    changed = []
+    for doc in DOCS:
+        path = os.path.join(ROOT, doc)
+        src = open(path).read()
+        out = src
+        for key, text in sp.items():
+            out = re.sub(
+                rf"(<!-- sync:{key} -->).*?(<!-- /sync:{key} -->)",
+                lambda m, t=text: m.group(1) + t + m.group(2),
+                out,
+                flags=re.S,
+            )
+        if out != src:
+            changed.append(doc)
+            if not check:
+                with open(path, "w") as fh:
+                    fh.write(out)
+    print(json.dumps({"facts": sp, "changed": changed, "check": check}))
+    return 1 if (check and changed) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
