@@ -777,15 +777,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (doc_id, sketch, value string) rows — the simhash long is rendered
         decimal, the winnowing 60-bit hex hashes exploded to scalars (the
         driver canonicalizer factorizes column values and cannot hash list
-        cells)."""
-        docs = _docs(spark, sf_dir)
+        cells).
+
+        The input is repartitioned first: both sketches are MAP-ONLY over
+        a single-file parquet (one input partition), so without the split
+        the per-token md5/conv expression work runs serially on one core —
+        measured 25 min at sf0.1 vs minutes when spread."""
+        docs = _docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
         sim = dedup.simhash(docs).select(
             "doc_id", F.lit("simhash").alias("sketch"),
             F.col("simhash").cast("string").alias("value"),
         )
-        fp = textstats.fingerprint(docs).select(
-            "doc_id", F.lit("winnow").alias("sketch"),
-            F.explode("fingerprints").alias("value"),
+        # explode_OUTER + post-filter, not explode: a plain explode makes
+        # Catalyst infer `size(fingerprints) > 0` and push it below the
+        # repartition with the whole winnowing expression spliced in —
+        # re-evaluated interpreted (higher-order lambdas never codegen) per
+        # window position on the single scan partition: measured 25 min at
+        # sf0.1. Inferring filters through an OUTER generate is unsound, so
+        # Catalyst leaves it alone; the null-row filter stays above the
+        # Generate. Row set identical (no doc has an empty fingerprint set
+        # dropped — nulls are filtered).
+        fp = (
+            textstats.fingerprint(docs)
+            .select(
+                "doc_id", F.lit("winnow").alias("sketch"),
+                F.explode_outer("fingerprints").alias("value"),
+            )
+            .filter(F.col("value").isNotNull())
         )
         return sim.unionByName(fp)
 

@@ -321,7 +321,16 @@ def fingerprint(
     array_min over slices (O(n·window) comparisons — fine for the small
     windows winnowing uses; the r2 Arrow UDF's per-k-gram Python md5 call
     was the hot line at scale). `_fingerprint_kernel_np` below is the numpy
-    twin kept as the test oracle."""
+    twin kept as the test oracle.
+
+    The hash array is MATERIALIZED as a column between two Projects (r4):
+    referencing a Python-side Column variable splices the whole expression
+    tree into every lambda use, so each window min re-evaluated the full
+    tokenize→kgram→md5 array — O(n²) md5 per doc, measured 25 min serial
+    at sf0.1. With `_hashes` a real attribute, every slice/size reference
+    is cheap, the pass is O(n·window), and CollapseProject keeps the
+    Projects apart (it refuses to duplicate the expensive multi-referenced
+    alias)."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
     n_kg = F.size("tokens") - (kgram - 1)
     kgrams = F.when(
@@ -333,19 +342,21 @@ def fingerprint(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(kgrams, lambda kg: F.substring(F.md5(kg), 1, 15))
-    n_h = F.size(hashes)
+    hashed = toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.transform(kgrams, lambda kg: F.substring(F.md5(kg), 1, 15)).alias("_hashes"),
+    )
+    n_h = F.size("_hashes")
     mins = F.when(n_h <= 0, F.array().cast("array<string>")).when(
-        n_h <= window, F.array(F.array_min(hashes))
+        n_h <= window, F.array(F.array_min("_hashes"))
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), n_h - (window - 1)),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
+            lambda i: F.array_min(F.slice("_hashes", i, window)),
         )
     )
-    return toks.select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    return hashed.select(
+        "doc_id", F.array_sort(F.array_distinct(mins)).alias("fingerprints")
     )
 
 
