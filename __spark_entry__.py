@@ -699,28 +699,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
         return out.withColumn("session_idx", F.col("session_idx").cast("long"))
 
-    def reference_tokenize(spark, sf_dir):
+    def _exploded_tokens(spark, sf_dir, mode):
+        # posexplode_OUTER + null-filter: a plain posexplode makes Catalyst
+        # infer size(tokens) > 0 and splice the tokenizer UDF call into the
+        # pushed-down filter — every doc would run the Arrow tokenizer TWICE
         from fusion_spark.tokenize import tokenize
 
-        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="reference")
-        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode=mode)
+        out = (
+            toks.select("doc_id", F.posexplode_outer("tokens").alias("pos", "term"))
+            .filter(F.col("term").isNotNull())
+        )
         return out.withColumn("pos", F.col("pos").cast("long"))
+
+    def reference_tokenize(spark, sf_dir):
+        return _exploded_tokens(spark, sf_dir, "reference")
 
     def code_tokenize(spark, sf_dir):
-        from fusion_spark.tokenize import tokenize
-
-        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="code")
-        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-        return out.withColumn("pos", F.col("pos").cast("long"))
+        return _exploded_tokens(spark, sf_dir, "code")
 
     def stem_tokenize(spark, sf_dir):
         # P5 lemma plug-point exercised with the deterministic S-stemmer
         # (documented parity delta vs the reference's spaCy lemmatizer)
-        from fusion_spark.tokenize import tokenize
-
-        toks = tokenize(_docs(spark, sf_dir), text_col="text", mode="reference_stem")
-        out = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-        return out.withColumn("pos", F.col("pos").cast("long"))
+        return _exploded_tokens(spark, sf_dir, "reference_stem")
 
     def bm25_grid_small(spark, sf_dir):
         """T1 flagship workflow (reference bm25.py:215-246) driver-gated on a

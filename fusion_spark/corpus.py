@@ -144,9 +144,15 @@ def chunk_documents(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<chunk_idx:long,chunk_text:string,n_tokens:long>>"))
-    return toks.select(
-        F.col(doc_id_col).alias("doc_id"), F.explode(chunks).alias("c")
-    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    # explode_outer + null-filter: a plain explode would make Catalyst infer
+    # size(chunks) > 0 and push it down with the whole windowing expression
+    # spliced in — every doc builds its chunk array twice (interpreted),
+    # serially on a single-file scan (same pathology as textstats.fingerprint)
+    return (
+        toks.select(F.col(doc_id_col).alias("doc_id"), F.explode_outer(chunks).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
 
 
 def stratified_split(

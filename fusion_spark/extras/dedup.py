@@ -67,7 +67,15 @@ def shingles(
     consecutive tokens joined by single spaces. `distinct=True` (set
     semantics — required for Jaccard sizes/intersections) costs a full
     shuffle; pass distinct=False for consumers that are duplicate-invariant
-    (minhash: min over a multiset == min over its set) to skip it."""
+    (minhash: min over a multiset == min over its set) to skip it.
+
+    explode_OUTER + null-filter, not explode: a plain explode makes
+    Catalyst infer `size(sh) > 0` and push it below the scan-side Project
+    with the whole tokenize+shingle expression spliced in — every doc then
+    builds its shingle array twice (interpreted — higher-order lambdas
+    never codegen), serially when the input is a single file. Filter
+    inference through an outer generate is unsound, so Catalyst leaves the
+    cheap isnotnull above the Generate. Row set identical."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode)
     # guard: sequence(1, 0) generates a DESCENDING [1, 0] in ANSI Spark, so
     # docs with < n tokens must short-circuit to an empty shingle array
@@ -80,7 +88,9 @@ def shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = toks.select(F.col(doc_id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    out = toks.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode_outer(sh).alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     return out.distinct() if distinct else out
 
 

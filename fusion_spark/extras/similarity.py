@@ -198,9 +198,13 @@ def ivf_cosine_topk(
     # over the query DataFrame (no queries.collect() — a 10^7-query batch
     # must not pass through the driver; VERDICT r1 §wrong-6)
     probe_ids = _probe_ids_udf(centroids, n_probe)
+    # explode_outer + null-filter: plain explode's inferred size()>0 filter
+    # would re-invoke the probe UDF once more per query row
     probes = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
-    ).select("qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid"))
+    ).select(
+        "qid", "qvec", F.explode_outer(probe_ids(F.col("qvec"))).alias("centroid")
+    ).filter(F.col("centroid").isNotNull())
     if broadcast_queries:
         probes = F.broadcast(probes)
     return _cosine_topk_ranked(probes.join(corpus, "centroid"), k)
@@ -461,8 +465,8 @@ def ivf_cosine_topk_store(
     probes = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     ).select(
-        "qid", "qvec", F.explode(probe_ids(F.col("qvec"))).alias("centroid")
-    )
+        "qid", "qvec", F.explode_outer(probe_ids(F.col("qvec"))).alias("centroid")
+    ).filter(F.col("centroid").isNotNull())
     # collect-then-literal instead of persist (see lsh_cosine_topk_store):
     # one collect feeds both the probe set and the broadcast join side
     prows = probes.collect()

@@ -275,7 +275,12 @@ def unigram_logprob(
     Token-less docs are kept with n_tokens 0 and score 0.0.
     Output: (doc_id, n_tokens, avg_neg_logprob)."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
-    occ = toks.select(F.col(doc_id_col).alias("doc_id"), F.explode("tokens").alias("term"))
+    # explode_outer + null-filter: plain explode's inferred size()>0 filter
+    # would splice the tokenize expression below the scan-side Project and
+    # re-tokenize every doc a second time (see dedup.shingles)
+    occ = toks.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode_outer("tokens").alias("term")
+    ).filter(F.col("term").isNotNull())
     dtf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n"))
     tf = dtf.groupBy("term").agg(F.sum("n").alias("c"))
     total = tf.agg(F.sum("c").alias("t"))

@@ -82,9 +82,19 @@ class BM25Index:
 
 
 def _postings_from_tokens(toks: DataFrame, doc_id_col: str) -> DataFrame:
-    """(doc_id, tokens, dl) → (term, doc_id, tf, dl). Partial-agg friendly."""
+    """(doc_id, tokens, dl) → (term, doc_id, tf, dl). Partial-agg friendly.
+
+    explode_outer + null-filter, not explode: a plain explode makes
+    Catalyst infer `size(tokens) > 0` and push it below the scan-side
+    Project with the tokenize expression spliced in — every doc would be
+    tokenized TWICE on the build's map side (the dominant stage of the
+    whole index build). Token-less docs are excluded either way (they
+    carry no postings; docstats keeps them)."""
     return (
-        toks.select(F.col(doc_id_col).alias("doc_id"), "dl", F.explode("tokens").alias("term"))
+        toks.select(
+            F.col(doc_id_col).alias("doc_id"), "dl", F.explode_outer("tokens").alias("term")
+        )
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         .select("term", "doc_id", "tf", "dl")

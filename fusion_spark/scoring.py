@@ -47,8 +47,12 @@ def query_terms(
     (bm25.py:151: each duplicate contributes its own partial; qtf × partial
     yields the identical sum)."""
     toks = tokenize(queries.select(qid_col, question_col), text_col=question_col, mode=mode)
+    # explode_outer + null-filter: plain explode's inferred size()>0 filter
+    # would splice the tokenize expression (or re-invoke the tokenizer UDF)
+    # below the Project — doubled work per query row (see indexing)
     return (
-        toks.select(F.col(qid_col).alias("qid"), F.explode("tokens").alias("term"))
+        toks.select(F.col(qid_col).alias("qid"), F.explode_outer("tokens").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("qid", "term")
         .agg(F.count(F.lit(1)).cast("int").alias("qtf"))
     )
