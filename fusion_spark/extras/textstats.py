@@ -57,21 +57,31 @@ def quality_score(docs: DataFrame, text_col: str = "text", doc_id_col: str = "do
     """Heuristic quality: length band + stopword presence − punct/digit noise.
     (doc_id, n_tokens, stopword_ratio, punct_ratio, digit_ratio, quality)."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode="simple")
-    n_tok = F.size("tokens")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_SMALL])
-    n_sw = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
-    n_chars = F.length(text_col)
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
-    stopword_ratio = F.when(n_tok > 0, n_sw / n_tok).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    # counts materialized as columns first: the ratio expressions reference
+    # each count 2-3× (its own output column + the quality product), and a
+    # spliced Column variable would re-run the regex/filter per reference —
+    # 2-3× the scan work on a full-corpus curation pass
+    counted = toks.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.size("tokens").alias("_n_tok"),
+        F.size(F.filter("tokens", lambda t: F.array_contains(sw, t))).alias("_n_sw"),
+        F.length(text_col).alias("_n_chars"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")))
+        .alias("_n_punct"),
+        (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", "")))
+        .alias("_n_digit"),
+    )
+    n_tok, n_chars = F.col("_n_tok"), F.col("_n_chars")
+    stopword_ratio = F.when(n_tok > 0, F.col("_n_sw") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.col("_n_punct") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, F.col("_n_digit") / n_chars).otherwise(F.lit(0.0))
     length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
     quality = length_ok * (F.lit(1.0) - punct_ratio) * (F.lit(1.0) - digit_ratio) * (
         F.lit(0.5) + F.lit(0.5) * F.least(stopword_ratio * 5, F.lit(1.0))
     )
-    return toks.select(
-        F.col(doc_id_col).alias("doc_id"),
+    return counted.select(
+        "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -150,17 +160,23 @@ def repetition_stats(
     Output: (doc_id, n_lines, dup_line_ratio, n_bigrams, top_bigram_frac).
     """
     d = docs.select(doc_id_col, text_col)
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    # the line array is materialized as a column: n_lines/dup_ratio
+    # reference it 3×, and a spliced Column variable would rebuild the
+    # split+trim+filter array per reference
+    lined = d.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        ).alias("_lines"),
     )
-    n_lines = F.size(lines)
+    n_lines = F.size("_lines")
     dup_ratio = F.when(
         n_lines > 0,
-        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+        F.lit(1.0) - F.size(F.array_distinct("_lines")) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
-    line_stats = d.select(
-        F.col(doc_id_col).alias("doc_id"),
+    line_stats = lined.select(
+        "doc_id",
         n_lines.cast("long").alias("n_lines"),
         F.round(dup_ratio, 6).alias("dup_line_ratio"),
     )
