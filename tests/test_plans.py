@@ -69,3 +69,44 @@ def test_fuse_single_exchange(spark, query_rows):
         and "Exchange" in ln and "Reused" not in ln
     )
     assert n_exchanges == 1, plan
+
+
+def test_no_inferred_filter_splice_on_explodes(spark, tmp_path):
+    """r4 contract: exploding a computed array must NOT let Catalyst infer a
+    size()>0 filter with the array's defining expression spliced in (it gets
+    pushed below the scan-side Project and re-evaluates tokenize/shingle
+    work per row, interpreted — the winnowing fingerprint was 200× slower
+    for it). All expensive-array explodes use explode_outer + isNotNull, so
+    no Filter in the optimized plan may contain the tokenize split."""
+    import re
+
+    from pyspark.sql import functions as F
+    from fusion_spark.extras import dedup, textstats
+    from fusion_spark.corpus import chunk_documents
+    from fusion_spark.indexing import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo tok{i} foxtrot golf") for i in range(20)],
+        "doc_id long, text string",
+    )
+    # parquet-backed, like real inputs — pushdown targets the scan side
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    d = spark.read.parquet(path)
+
+    idx = build_index(d, doc_id_col="doc_id", text_col="text")
+    frames = {
+        "postings": idx.postings,
+        "shingles": dedup.shingles(d, n=3, distinct=False),
+        "chunks": chunk_documents(d, max_tokens=4, overlap=1),
+        "fingerprint_exploded": textstats.fingerprint(d).select(
+            "doc_id", F.explode_outer("fingerprints").alias("v")
+        ).filter(F.col("v").isNotNull()),
+    }
+    for name, df in frames.items():
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for ln in opt.splitlines():
+            if re.match(r"\s*\+?-?\s*Filter ", ln):
+                assert "split(" not in ln and "md5(" not in ln, (
+                    f"{name}: inferred filter splices the array expression:\n{ln[:400]}"
+                )
