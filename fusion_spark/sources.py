@@ -173,3 +173,60 @@ def write_trec_run(ranked: DataFrame, path: str, run_tag: str = "fusion_spark") 
         .option("sep", " ")
         .csv(path)
     )
+
+
+def read_lleqa_dataset(
+    spark: SparkSession, root: str, name: str = "corpus", split: str | None = None
+) -> DataFrame:
+    """Local-layout counterpart of the reference's HuggingFace-hub loads
+    (lleqa.py:176-210). The network fetch itself is out of scope by design
+    (SURVEY S11: no external data), but the SHAPES, column renames, and
+    split mapping are reproduced exactly, so a locally exported dump of the
+    dataset — one parquet per config/split under `root`: corpus.parquet,
+    questions_{train,validation,test}.parquet, negatives_<system>.parquet —
+    drops straight into the engine:
+
+      * name="corpus"    → (doc_id long, text string) from the reference's
+                           (id, article) columns (lleqa.py:176);
+      * name="questions" → (qid long, question string,
+                           article_ids array<long>); the caller's split
+                           'dev' maps to the stored 'validation' split
+                           (lleqa.py:191);
+      * name="negatives" → (qid long, neg_ids array<long>); `split` names
+                           the negatives system. The stored shape mirrors
+                           the reference's quirk — ONE row whose columns
+                           are question ids and whose cells are doc-id
+                           lists (lleqa.py:210 reads it with
+                           .to_dict(orient='records')[0]) — melted here to
+                           one row per question.
+    """
+    if name == "corpus":
+        df = spark.read.parquet(f"{root}/corpus.parquet")
+        return df.select(
+            F.col("id").cast("long").alias("doc_id"), F.col("article").alias("text")
+        )
+    if name == "questions":
+        stored = "validation" if split == "dev" else split
+        df = spark.read.parquet(f"{root}/questions_{stored}.parquet")
+        return df.select(
+            F.col("id").cast("long").alias("qid"),
+            "question",
+            F.col("article_ids").cast("array<long>").alias("article_ids"),
+        )
+    if name == "negatives":
+        df = spark.read.parquet(f"{root}/negatives_{split}.parquet")
+        melted = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).cast("long").alias("qid"),
+                            F.col(c).cast("array<long>").alias("neg_ids"),
+                        )
+                        for c in df.columns
+                    ]
+                )
+            ).alias("kv")
+        )
+        return melted.select("kv.qid", "kv.neg_ids")
+    raise ValueError(f"unknown lleqa config {name!r} (corpus|questions|negatives)")

@@ -273,3 +273,49 @@ def nsf_weight_grid(
         )
     score_lists.unpersist()  # metrics are collected — release the cache
     return spark.createDataFrame(rows)
+
+
+def write_grid_artifacts(
+    grid: DataFrame,
+    output_dir: str,
+    metric: str = "recall_100",
+    csv_name: str = "bm25_tuning_results.csv",
+    vmin: float = 40.0,
+    vmax: float = 60.0,
+):
+    """The reference's tuning-run artifacts (bm25.py:241-246): the full grid
+    CSV (comma-separated, float_format '%.5f', hyperparameter columns
+    first) and the k1×b heatmap of `metric` — k1 rows DESCENDING, values
+    ×100, one decimal, exactly the reference's pivot. The reference renders
+    the heatmap with seaborn (YlOrBr, annotated, cbar off, vmin=40,
+    vmax=60) into bm25_tuning_heatmap.pdf; matplotlib/seaborn are OPTIONAL
+    here — when importable the PDF is written with the same options,
+    otherwise the identical pivot lands as bm25_tuning_heatmap.csv (the
+    documented stand-in for plotting-free environments). The grid frame is
+    driver-sized (≤ a few hundred combos), so toPandas is safe.
+    Returns the pivot (pandas, percent scale)."""
+    import os
+
+    pdf = grid.toPandas()
+    cols = ["k1", "b"] + [c for c in pdf.columns if c not in ("k1", "b")]
+    pdf = pdf[cols].sort_values(["k1", "b"], ignore_index=True)
+    os.makedirs(output_dir, exist_ok=True)
+    pdf.to_csv(
+        os.path.join(output_dir, csv_name), sep=",", float_format="%.5f", index=False
+    )
+    pivot = pdf.pivot_table(values=metric, index="k1", columns="b")[::-1] * 100
+    try:  # optional plotting stack — absent in this container
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import seaborn as sns
+
+        plot = sns.heatmap(
+            pivot, annot=True, cmap="YlOrBr", fmt=".1f", cbar=False, vmin=vmin, vmax=vmax
+        )
+        plot.get_figure().savefig(os.path.join(output_dir, "bm25_tuning_heatmap.pdf"))
+    except ImportError:
+        pivot.round(1).to_csv(
+            os.path.join(output_dir, "bm25_tuning_heatmap.csv"), float_format="%.1f"
+        )
+    return pivot

@@ -167,3 +167,42 @@ def test_read_corpus_table_dispatch(spark, tmp_path):
     via_table = read_corpus_table(spark, "corpus_tbl")
     assert sorted(map(tuple, via_path.collect())) == sorted(map(tuple, via_table.collect()))
     assert via_path.schema == via_table.schema
+
+
+def test_read_lleqa_dataset_layout(spark, tmp_path):
+    """Local-dump counterpart of the reference's HF loads (lleqa.py:176-210):
+    corpus (id, article) -> (doc_id, text); questions split 'dev' maps to
+    the stored 'validation' file; the one-row negatives quirk (columns =
+    question ids, cells = doc-id lists) melts to (qid, neg_ids)."""
+    from pyspark.sql import functions as F
+
+    from fusion_spark.sources import read_lleqa_dataset
+
+    root = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "first article"), (2, "second article")], "id int, article string"
+    ).write.parquet(f"{root}/corpus.parquet")
+    spark.createDataFrame(
+        [(7, "what is q7", [1, 2]), (9, "what is q9", [2])],
+        "id int, question string, article_ids array<int>",
+    ).write.parquet(f"{root}/questions_validation.parquet")
+    spark.createDataFrame(
+        [([1, 2], [2])], "`7` array<int>, `9` array<int>"
+    ).write.parquet(f"{root}/negatives_bm25.parquet")
+
+    corpus = read_lleqa_dataset(spark, root, "corpus")
+    assert corpus.columns == ["doc_id", "text"]
+    assert {tuple(r) for r in corpus.collect()} == {(1, "first article"), (2, "second article")}
+
+    qs = read_lleqa_dataset(spark, root, "questions", split="dev")  # dev -> validation
+    assert qs.columns == ["qid", "question", "article_ids"]
+    assert {r["qid"] for r in qs.collect()} == {7, 9}
+    assert dict(qs.schema["article_ids"].dataType.jsonValue().items())["elementType"] == "long"
+
+    negs = {r["qid"]: r["neg_ids"] for r in
+            read_lleqa_dataset(spark, root, "negatives", split="bm25").collect()}
+    assert negs == {7: [1, 2], 9: [2]}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown lleqa config"):
+        read_lleqa_dataset(spark, root, "nope")

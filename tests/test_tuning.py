@@ -99,3 +99,33 @@ def test_nsf_weight_grid_fused_matches_loop(spark, query_rows):
     assert set(loop) == set(fused) and len(fused) >= 3
     for cell in loop:
         assert fused[cell] == pytest.approx(loop[cell], abs=1e-12), cell
+
+
+def test_write_grid_artifacts(spark, docs_df, queries_df, qrel_rows, tmp_path):
+    """Reference tuning artifacts (bm25.py:241-246): grid CSV with %.5f
+    floats and hyperparameter columns first; heatmap pivot with k1 rows
+    DESCENDING and values ×100 — written as CSV here (no plotting stack in
+    the container; the PDF branch activates when seaborn imports)."""
+    import os
+
+    from fusion_spark.tuning import bm25_grid, write_grid_artifacts
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qrels = spark.createDataFrame(qrel_rows)
+    grid = bm25_grid(
+        idx, queries_df, qrels, k1_values=[0.5, 2.5], b_values=[0.2, 0.75],
+        top_k=20, recall_k=(10,),
+    )
+    out = str(tmp_path / "artifacts")
+    pivot = write_grid_artifacts(grid, out, metric="recall_10")
+
+    with open(os.path.join(out, "bm25_tuning_results.csv")) as f:
+        header, *rows = [ln.strip() for ln in f if ln.strip()]
+    assert header.split(",")[:2] == ["k1", "b"] and len(rows) == 4
+    assert all(len(cell.split(".")[-1]) == 5 for cell in rows[0].split(","))  # %.5f
+
+    assert list(pivot.index) == [2.5, 0.5]  # k1 DESCENDING (reference [::-1])
+    assert list(pivot.columns) == [0.2, 0.75]
+    g = {(r["k1"], r["b"]): r["recall_10"] for r in grid.collect()}
+    assert pivot.loc[2.5, 0.2] == pytest.approx(g[(2.5, 0.2)] * 100)
+    assert os.path.exists(os.path.join(out, "bm25_tuning_heatmap.csv"))  # stand-in
