@@ -319,6 +319,11 @@ def duplicate_clusters(
     rounds use RELIABLE df.checkpoint — localCheckpoint blocks die with
     their executors, which on a real cluster kills a long CC job halfway;
     without one, localCheckpoint (fine in local mode / short jobs).
+    Superseded rounds' reliable checkpoint files are deleted as soon as the
+    next round materializes (Spark itself only cleans them with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true, off by default),
+    so the job holds at most two label-frame copies on the checkpoint store
+    instead of one per round.
 
     `pairs`: (doc_a, doc_b) undirected edges. `nodes`: optional (doc_id)
     universe — isolated docs (no pair) appear with cluster_rep = doc_id;
@@ -334,10 +339,38 @@ def duplicate_clusters(
     else:
         universe = nodes.select("doc_id").distinct()
 
-    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    spark = pairs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    def _rm_ckpt(df: DataFrame) -> None:
+        """Reclaim a superseded round's reliable checkpoint files. Spark only
+        deletes them itself with spark.cleaner.referenceTracking.cleanCheckpoints
+        (off by default), so a long CC job would otherwise accumulate one full
+        label-frame copy per round on the checkpoint store."""
+        if not reliable:
+            return  # localCheckpoint blocks are lineage-managed, nothing on disk
+        try:
+            # toRdd() of a checkpointed frame is a projection wrapper over the
+            # checkpointed internal RDD — walk up the (linear) dependency
+            # chain to the RDD that actually owns the checkpoint file
+            j = df._jdf.queryExecution().toRdd()
+            for _ in range(8):
+                opt = j.getCheckpointFile()
+                if opt.isDefined():
+                    jvm = spark._jvm
+                    hpath = jvm.org.apache.hadoop.fs.Path(opt.get())
+                    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                    fs.delete(hpath, True)
+                    return
+                deps = j.dependencies()
+                if deps.size() == 0:
+                    return
+                j = deps.apply(0).rdd()
+        except Exception:
+            pass  # cleanup is best-effort; correctness never depends on it
 
     labels = _ckpt(universe.withColumn("lab", F.col("doc_id")))
     converged = False
@@ -361,6 +394,7 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
+        _rm_ckpt(labels)  # probe done — the superseded round's files can go
         labels = new_labels
         if changed == 0:
             converged = True

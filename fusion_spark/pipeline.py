@@ -67,8 +67,9 @@ def select_by_token_budget(
     # above 2^53 would silently collapse in float64, drawing the wrong
     # budget. Casting once JVM-side gives driver and kernel byte-identical
     # exact keys for any group type; the original `grp` column still
-    # carries the output value/type. (`budgets` keys are matched via
-    # Python str(), exact for string and integer group columns.)
+    # carries the output value/type. (`budgets` keys are canonicalized to
+    # Spark's string cast per group dtype below — exact for string, integer
+    # and boolean group columns; fractional group columns raise.)
     _NULL_KEY = "\0null"
     base = docs.select(
         F.col(doc_id_col).alias("doc_id"),
@@ -109,9 +110,30 @@ def select_by_token_budget(
             StructField("cum_tokens", LongType()),
         ]
     )
-    bud = {
-        (_NULL_KEY if k is None else str(k)): int(v) for k, v in budgets.items()
-    }
+    # Canonicalize budget keys to Spark's string-cast of the group column —
+    # Python str() alone diverges for bool (str(True)='True' vs Spark 'true')
+    # and for float groups keyed by int budgets (5 vs Spark's '5.0'), which
+    # would silently match nothing and drop every doc in the group. Bool and
+    # integral types are canonicalized; fractional/other group types raise
+    # (float equality is no basis for a budget key — cast the column first).
+    from pyspark.sql.types import BooleanType, ByteType, IntegerType, LongType, ShortType, StringType
+
+    def _canon(k):
+        if k is None:
+            return _NULL_KEY
+        if isinstance(grp_type, BooleanType):
+            return "true" if k in (True, "true", "True", 1) else "false"
+        if isinstance(grp_type, (ByteType, ShortType, IntegerType, LongType)):
+            return str(int(k))
+        if isinstance(grp_type, StringType):
+            return str(k)
+        raise ValueError(
+            f"token_budget_select: unsupported group column type {grp_type} — "
+            "budget keys can't be matched exactly against a fractional/complex "
+            "group column; cast the column to string or integer first"
+        )
+
+    bud = {_canon(k): int(v) for k, v in budgets.items()}
 
     def stamp(batches):
         seen: dict[str, int] = {}

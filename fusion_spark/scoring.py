@@ -203,13 +203,27 @@ def search_auto(
     scorer. The routing count is BOUNDED — `limit(bound+1).count()` instead
     of a full count() — so a query frame with expensive upstream lineage
     pays at most bound+1 rows of it for routing, not a full materialization
-    (it only needs to know whether the batch EXCEEDS the bound)."""
-    query_bound = wand_max_query_work // max(k, 1)
+    (it only needs to know whether the batch EXCEEDS the bound).
+
+    The bound is clamped to wand_search's own hard capacity
+    (max_queries_per_chunk · max_chunks_per_plan): for small k the work
+    budget alone would admit batches the chunked WAND planner refuses
+    (its guard raises above 64 chunk closures), so anything beyond its
+    capacity routes to the join scorer instead of crashing through."""
+    import inspect
+
+    from fusion_spark.blocks import wand_search
+
+    # read wand_search's real defaults so the clamp can never drift from the
+    # guard it protects against
+    sig = inspect.signature(wand_search).parameters
+    wand_capacity = (
+        sig["max_queries_per_chunk"].default * sig["max_chunks_per_plan"].default
+    )
+    query_bound = min(wand_max_query_work // max(k, 1), wand_capacity)
     if packed is not None and queries.limit(query_bound + 1).count() <= query_bound and (
         estimate_selectivity(index, queries, mode) < wand_threshold
     ):
-        from fusion_spark.blocks import wand_search
-
         return wand_search(packed, queries, k=k, k1=k1, b=b, mode=mode)
     return search(index, queries, k=k, k1=k1, b=b, mode=mode)
 

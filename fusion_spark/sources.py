@@ -206,6 +206,11 @@ def read_lleqa_dataset(
             F.col("id").cast("long").alias("doc_id"), F.col("article").alias("text")
         )
     if name == "questions":
+        if split is None:
+            raise ValueError(
+                "read_lleqa_dataset(name='questions') needs split= "
+                "('train' | 'dev'/'validation' | 'test')"
+            )
         stored = "validation" if split == "dev" else split
         df = spark.read.parquet(f"{root}/questions_{stored}.parquet")
         return df.select(
@@ -214,7 +219,21 @@ def read_lleqa_dataset(
             F.col("article_ids").cast("array<long>").alias("article_ids"),
         )
     if name == "negatives":
+        if split is None:
+            raise ValueError(
+                "read_lleqa_dataset(name='negatives') needs split=<system name> "
+                "(names the negatives file negatives_<system>.parquet)"
+            )
         df = spark.read.parquet(f"{root}/negatives_{split}.parquet")
+        # the stored one-row shape's column NAMES are question ids — a
+        # non-numeric column means a malformed dump; casting it to a NULL
+        # qid would silently drop it instead
+        bad = [c for c in df.columns if not c.lstrip("-").isdigit()]
+        if bad:
+            raise ValueError(
+                f"negatives dump has non-integer question-id columns {bad[:5]!r} "
+                "— expected one column per question id (lleqa.py:210 shape)"
+            )
         melted = df.select(
             F.explode(
                 F.array(

@@ -308,14 +308,21 @@ def write_grid_artifacts(
         import matplotlib
 
         matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
         import seaborn as sns
 
-        plot = sns.heatmap(
-            pivot, annot=True, cmap="YlOrBr", fmt=".1f", cbar=False, vmin=vmin, vmax=vmax
+        # fresh figure + explicit close: the reference is a one-shot script,
+        # but this is a reusable library call — drawing on the implicit
+        # current axes would overlay successive grids in one process
+        fig, ax = plt.subplots()
+        sns.heatmap(
+            pivot, annot=True, cmap="YlOrBr", fmt=".1f", cbar=False,
+            vmin=vmin, vmax=vmax, ax=ax,
         )
-        plot.get_figure().savefig(os.path.join(output_dir, "bm25_tuning_heatmap.pdf"))
+        fig.savefig(os.path.join(output_dir, "bm25_tuning_heatmap.pdf"))
+        plt.close(fig)
     except ImportError:
-        pivot.round(1).to_csv(
-            os.path.join(output_dir, "bm25_tuning_heatmap.csv"), float_format="%.1f"
-        )
+        # data pre-rounded to the heatmap's 1 decimal; no float_format — it
+        # would also reformat the b COLUMN LABELS (0.75 → '0.8')
+        pivot.round(1).to_csv(os.path.join(output_dir, "bm25_tuning_heatmap.csv"))
     return pivot

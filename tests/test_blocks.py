@@ -273,3 +273,38 @@ def test_wand_mega_batch_guard_raises(spark, docs_df):
     # at-or-below the bound still chunks and runs (9 qids / 5 = 2 chunks)
     ok = wand_search(packed, qs, k=2, max_queries_per_chunk=5, max_chunks_per_plan=2)
     assert ok.count() > 0
+
+
+def test_search_auto_clamps_bound_to_wand_capacity(spark, docs_df, queries_df, monkeypatch):
+    """r4 advice (high): for small k the work budget alone admits batches the
+    chunked WAND planner refuses (it raises above max_queries_per_chunk ·
+    max_chunks_per_plan chunks) — search_auto must clamp its routing bound to
+    wand_search's real capacity and fall back to the join scorer instead of
+    crashing through. Capacity is read from wand_search's signature, so a
+    tiny-capacity stand-in exercises the clamp without 65k queries."""
+    import fusion_spark.blocks as blocks
+    from fusion_spark.scoring import search, search_auto
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    calls = []
+
+    def tiny_wand(packed, queries, *, k=10, k1=1.5, b=0.75, mode="simple",
+                  max_queries_per_chunk=2, max_chunks_per_plan=2):
+        calls.append(k)
+        return search(idx, queries, k=k, k1=k1, b=b, mode=mode)
+
+    monkeypatch.setattr(blocks, "wand_search", tiny_wand)
+
+    class _Poison:
+        def __getattr__(self, name):  # pragma: no cover - only on wrong route
+            raise AssertionError("WAND path must not be taken above its capacity")
+
+    # 12 queries > fake capacity 2·2=4, yet k=1 leaves the work budget wide
+    # open (2M/1) — before the clamp this routed into wand_search and raised
+    out = search_auto(idx, _Poison(), queries_df, k=1, wand_threshold=1.1,
+                      wand_max_query_work=2_000_000)
+    assert calls == [] and out.count() > 0
+    # at-or-below capacity the WAND path stays reachable under the same knobs
+    search_auto(idx, object(), queries_df.limit(4), k=1, wand_threshold=1.1,
+                wand_max_query_work=2_000_000).collect()
+    assert calls == [1]

@@ -1,5 +1,6 @@
 """S3/S10 source/sink formats: TSV/JSONL/TREC roundtrips + T2 split dedup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from fusion_spark.corpus import dedup_splits
@@ -206,3 +207,23 @@ def test_read_lleqa_dataset_layout(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown lleqa config"):
         read_lleqa_dataset(spark, root, "nope")
+
+
+def test_read_lleqa_dataset_validates_split_and_qid_columns(spark, tmp_path):
+    """r4 advice: questions/negatives without split= built a nonsense path
+    ('questions_None.parquet'), and a malformed negatives dump with
+    non-numeric column names melted into NULL qids silently — both raise."""
+    import pandas as pd
+
+    from fusion_spark.sources import read_lleqa_dataset
+
+    root = str(tmp_path)
+    with pytest.raises(ValueError, match="needs split"):
+        read_lleqa_dataset(spark, root, "questions")
+    with pytest.raises(ValueError, match="needs split"):
+        read_lleqa_dataset(spark, root, "negatives")
+    pd.DataFrame({"12": [[1, 2]], "oops": [[3]]}).to_parquet(
+        f"{root}/negatives_bad.parquet"
+    )
+    with pytest.raises(ValueError, match="non-integer question-id"):
+        read_lleqa_dataset(spark, root, "negatives", split="bad")

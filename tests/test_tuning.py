@@ -129,3 +129,72 @@ def test_write_grid_artifacts(spark, docs_df, queries_df, qrel_rows, tmp_path):
     g = {(r["k1"], r["b"]): r["recall_10"] for r in grid.collect()}
     assert pivot.loc[2.5, 0.2] == pytest.approx(g[(2.5, 0.2)] * 100)
     assert os.path.exists(os.path.join(out, "bm25_tuning_heatmap.csv"))  # stand-in
+
+
+def test_write_grid_artifacts_byte_parity(spark, tmp_path):
+    """r4 verdict #6: pin the artifact BYTES, not just the structure. A
+    hand-written expected CSV (the reference's to_csv options: sep=',',
+    float_format='%.5f', index=False, hyperparameter columns first —
+    bm25.py:241) and heatmap pivot CSV (×100, one decimal, k1 DESCENDING)
+    must match the writer's output byte-for-byte."""
+    import os
+
+    from fusion_spark.tuning import write_grid_artifacts
+
+    grid = spark.createDataFrame(
+        [(0.5, 0.2, 0.5), (0.5, 0.75, 0.25), (2.5, 0.2, 1.0), (2.5, 0.75, 0.125)],
+        "k1 double, b double, recall_100 double",
+    )
+    out = str(tmp_path / "parity")
+    write_grid_artifacts(grid, out, metric="recall_100")
+
+    want_csv = (
+        "k1,b,recall_100\n"
+        "0.50000,0.20000,0.50000\n"
+        "0.50000,0.75000,0.25000\n"
+        "2.50000,0.20000,1.00000\n"
+        "2.50000,0.75000,0.12500\n"
+    )
+    with open(os.path.join(out, "bm25_tuning_results.csv"), "rb") as f:
+        assert f.read() == want_csv.encode()
+
+    want_heat = (
+        "k1,0.2,0.75\n"
+        "2.5,100.0,12.5\n"
+        "0.5,50.0,25.0\n"
+    )
+    with open(os.path.join(out, "bm25_tuning_heatmap.csv"), "rb") as f:
+        assert f.read() == want_heat.encode()
+
+
+def test_reference_187_combo_grid_shape(spark, docs_df, queries_df, qrel_rows, tmp_path):
+    """The reference's actual tuning sweep (bm25.py:227-229): k1∈[0,8]
+    step 0.5 × b∈[0,1] step 0.1 = 187 combos, run through the fused
+    one-plan grid and the artifact writer. Asserts the full-size CSV shape
+    (187 rows, hyperparameters-first header) and the 17×11 pivot with k1
+    rows descending 8.0→0.0 — the reference heatmap's exact axes."""
+    import os
+
+    import numpy as np
+
+    from fusion_spark.tuning import bm25_grid_fused, write_grid_artifacts
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    qrels = spark.createDataFrame(qrel_rows)
+    k1s = [round(x, 1) for x in np.arange(0.0, 8.5, 0.5)]
+    bs = [round(x, 1) for x in np.arange(0.0, 1.1, 0.1)]
+    grid = bm25_grid_fused(
+        idx, queries_df, qrels, k1_values=k1s, b_values=bs,
+        top_k=100, recall_k=(100,), score_round=6,
+    )
+    out = str(tmp_path / "full")
+    pivot = write_grid_artifacts(grid, out, metric="recall_100")
+
+    with open(os.path.join(out, "bm25_tuning_results.csv")) as f:
+        header, *rows = [ln for ln in f.read().splitlines() if ln]
+    assert header == "k1,b,recall_100"
+    assert len(rows) == 187
+    assert pivot.shape == (17, 11)
+    assert list(pivot.index) == sorted(k1s, reverse=True)
+    assert list(pivot.columns) == bs
+    assert float(pivot.max().max()) <= 100.0 and float(pivot.min().min()) >= 0.0
