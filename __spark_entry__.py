@@ -625,6 +625,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.cosine_topk(embs, qv, k=5)
         return _rounded(out, "cosine", 5)
 
+    def ivf_lloyd_step(spark, sf_dir):
+        """One k-means refinement step over int8-quantized embeddings (the
+        r4 stretch: train_ivf_centroids' refined-centroid path under the SQL
+        gate). Quantized codes make every sum integer-exact, so the
+        per-(centroid, dim) mean is accumulation-order-invariant and the
+        oracle reproduces it bit-for-bit."""
+        return similarity.ivf_lloyd_step_quantized(_embs(spark, sf_dir), n_centroids=4)
+
     def token_stats(spark, sf_dir):
         return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -914,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sketches": doc_sketches,
         "ann_topk": ann_topk,
         "multimodal_features": multimodal_features,
+        "ivf_lloyd_step": ivf_lloyd_step,
     }
 
 
@@ -1227,6 +1236,44 @@ SELECT vec_id,
        (i - 1)::BIGINT AS dim_idx,
        CASE WHEN mx > 0 THEN floor(x[i] / (mx / 127.0) + 0.5)::BIGINT ELSE 0::BIGINT END AS qval
 FROM e2
+""",
+        "ivf_lloyd_step": """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+  FROM embeddings
+),
+q AS (  -- int8 codes as integer-valued doubles (quantize_embeddings rule)
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(x, y -> floor(y / (mx / 127.0) + 0.5))
+              ELSE list_transform(x, y -> 0.0) END AS qd
+  FROM v
+),
+seeds AS (  -- seeding rule: the 4 lowest vec_ids' quantized vectors
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid, qd AS cvec,
+         sqrt(list_dot_product(qd, qd)) AS nc
+  FROM (SELECT vec_id, qd FROM q ORDER BY vec_id LIMIT 4)
+),
+norms AS (SELECT vec_id, sqrt(list_dot_product(qd, qd)) AS nv FROM q),
+cosims AS (  -- dot/(nv*nc): single division, fixed operand order, 9dp
+  SELECT q.vec_id, s.centroid,
+         CASE WHEN n.nv * s.nc = 0 THEN 0.0
+              ELSE round(list_dot_product(q.qd, s.cvec) / (n.nv * s.nc), 9)
+         END AS cos
+  FROM q CROSS JOIN seeds s JOIN norms n USING (vec_id)
+),
+assigned AS (
+  SELECT vec_id, centroid FROM (
+    SELECT vec_id, centroid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid ASC) AS rn
+    FROM cosims) WHERE rn = 1
+),
+ex AS (SELECT a.centroid, q.qd, unnest(range(1, len(q.qd) + 1)) AS i
+       FROM assigned a JOIN q USING (vec_id))
+SELECT centroid::INT AS centroid, (i - 1)::BIGINT AS dim_idx,
+       round(avg(qd[i]), 9) AS m
+FROM ex GROUP BY 1, 2
 """,
         "events_windowed": """
 SELECT event_type,

@@ -49,8 +49,13 @@ def worker_index_build(sf_dir: str, cores: int, replicate: int) -> None:
     from fusion_spark.indexing import build_index
     from fusion_spark.session import get_spark
 
+    # SPARK_GRAFT_WORKER_SHUFFLE overrides for at-size runs: 10×+ inputs
+    # need the same (larger) shuffle partition count at BOTH parallelism
+    # levels so per-task agg state fits the executor heap share — and an
+    # identical partition count is the cleaner scaling comparison anyway
+    shuf = int(os.environ.get("SPARK_GRAFT_WORKER_SHUFFLE", max(cores * 2, 8)))
     spark = get_spark(app_name=f"bench-build-{cores}", cores=cores,
-                      shuffle_partitions=max(cores * 2, 8))
+                      shuffle_partitions=shuf)
     # Fixed 64-way input layout at BOTH parallelism levels (same input, same
     # partitioning — only the executor count changes). Without this the
     # single-file parquet read gives one input partition and the map side
@@ -60,8 +65,11 @@ def worker_index_build(sf_dir: str, cores: int, replicate: int) -> None:
     # Best-of-4 inside one warm JVM: the sandbox host has bursty steal time
     # (identical jobs vary 1.4s–33s), so a single-shot wall clock measures
     # the neighbor, not the engine. Min over repeats is the standard fix.
+    # SPARK_GRAFT_BUILD_REPEATS overrides for at-size runs (10× inputs run
+    # ~7× longer, amortizing the noise within a single run).
+    repeats = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "4"))
     secs, n_post, n_terms = [], 0, 0
-    for _ in range(4):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         idx = build_index(docs, doc_id_col="doc_id", text_col="text")
         n_post = idx.postings.count()  # forces tokenize + postings + stats

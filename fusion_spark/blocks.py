@@ -271,9 +271,11 @@ def wand_search(
     any task runs. Batches needing more than `max_chunks_per_plan` chunks
     therefore raise: dense 10⁵+-query offline batches belong on
     scoring.search / search_auto — one join plan beats hundreds of chunked
-    passes when most blocks must be decoded anyway (search_auto routes on
-    exactly this bound). Chunking is result-invariant: queries never
-    interact."""
+    passes when most blocks must be decoded anyway. search_auto clamps its
+    routing bound to max_queries_per_chunk·max_chunks_per_plan (read from
+    this signature), so batches beyond this guard's capacity take the join
+    scorer instead of reaching the raise. Chunking is result-invariant:
+    queries never interact."""
     from fusion_spark.scoring import query_terms
 
     # persisted across BOTH collects (the qid census + the per-chunk row

@@ -298,6 +298,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iters: int = 20,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph — the standard
     web-dedup primitive (union-find at cluster scale): every doc in a
@@ -328,7 +329,11 @@ def duplicate_clusters(
     `pairs`: (doc_a, doc_b) undirected edges. `nodes`: optional (doc_id)
     universe — isolated docs (no pair) appear with cluster_rep = doc_id;
     without it only paired docs are returned.
+    `stats_out`: optional dict filled with {"cc_rounds": n, "cc_round_secs":
+    [...], "cc_converged": bool} — rounds-to-convergence and per-round wall
+    are the numbers a 100-TB extrapolation of an iterative job needs.
     Output: (doc_id, cluster_rep)."""
+    import time as _time
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -377,7 +382,9 @@ def duplicate_clusters(
     # max_iters + 1 rounds: a diameter-D component needs D propagation
     # rounds PLUS one zero-change round to confirm convergence, so a
     # max_iters budget genuinely covers diameter-max_iters components
+    round_secs: list[float] = []
     for _ in range(max_iters + 1):
+        t0 = _time.time()
         neigh = (
             edges.join(labels.select(F.col("doc_id").alias("src"), "lab"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
@@ -396,9 +403,14 @@ def duplicate_clusters(
         )
         _rm_ckpt(labels)  # probe done — the superseded round's files can go
         labels = new_labels
+        round_secs.append(round(_time.time() - t0, 2))
         if changed == 0:
             converged = True
             break
+    if stats_out is not None:
+        stats_out["cc_rounds"] = len(round_secs)
+        stats_out["cc_round_secs"] = round_secs
+        stats_out["cc_converged"] = converged
     if not converged:
         # a silent non-converged return would split components and let extra
         # duplicates survive with no signal — fail loudly instead (a 20-round

@@ -317,6 +317,79 @@ def quantize_embeddings(
     )
 
 
+def ivf_lloyd_step_quantized(
+    embeddings: DataFrame,
+    n_centroids: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE k-means (Lloyd) refinement step, made SQL-oracle-reproducible
+    (the r4 stretch): train_ivf_centroids' float means aren't cross-engine
+    stable because distributed accumulation order varies — so this variant
+    runs the step on int8-QUANTIZED vectors (quantize_embeddings' exact
+    floor(x/scale + 0.5) codes). Every sum is then integer-valued and exact
+    in double at ANY accumulation order, and each (centroid, dim) mean is
+    one IEEE division with identical operands in both engines.
+
+    Seeding rule = train_ivf_centroids (reference seeding, no RNG): the
+    n_centroids lowest vec_ids' quantized vectors. Assignment = argmax
+    cosine, cosine computed as dot/(nv·nc) in double (single division,
+    fixed operand order), rounded to 9 dp, ties → LOWEST centroid index
+    (encoded as array_max over (cos, -centroid) structs). Zero vectors get
+    cosine 0 to every centroid and fall to centroid 0 by the tie-break.
+    All JVM-side expressions; one shuffle for the partial+final mean.
+    Output: (centroid int, dim_idx long, m double)."""
+    import math
+
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    seeds = [
+        [float(x) for x in r["qvec"]]
+        for r in q.orderBy("vec_id").limit(n_centroids).collect()
+    ]  # n_centroids × dim scalars — driver-sized by contract
+    norms = [math.sqrt(sum(x * x for x in c)) for c in seeds]
+
+    # qd/nv materialized as real columns: the per-centroid dot lambdas below
+    # reference them multiple times, and a Python-side Column expression
+    # would be spliced (and re-evaluated) per use (see BENCH.md plan rules)
+    base = q.select(
+        "vec_id", F.transform("qvec", lambda x: x.cast("double")).alias("qd")
+    )
+    base = base.select(
+        "vec_id", "qd",
+        F.sqrt(F.aggregate("qd", F.lit(0.0), lambda a, x: a + x * x)).alias("nv"),
+    )
+
+    def cos_to(c: int) -> Column:
+        cvec = F.array(*[F.lit(x) for x in seeds[c]])
+        dot = F.aggregate(
+            F.zip_with(F.col("qd"), cvec, lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        denom = F.col("nv") * F.lit(norms[c])
+        return F.when(denom == 0, F.lit(0.0)).otherwise(F.round(dot / denom, 9))
+
+    best = F.array_max(
+        F.array(*[
+            F.struct(cos_to(c).alias("cos"), F.lit(-c).alias("negc"))
+            for c in range(len(seeds))
+        ])
+    )
+    assigned = base.select(
+        "qd", (-best["negc"]).cast("int").alias("centroid")
+    )
+    # posexplode_outer + null-filter: plain posexplode lets Catalyst splice
+    # the full qd definition into an inferred size()>0 filter below the
+    # scan, re-evaluating the quantize transform per doc (BENCH.md r4)
+    ex = assigned.select(
+        "centroid", F.posexplode_outer("qd").alias("dim_idx", "x")
+    ).filter(F.col("x").isNotNull())
+    return (
+        ex.groupBy("centroid", F.col("dim_idx").cast("long").alias("dim_idx"))
+        .agg(F.avg("x").alias("m"))
+        .select("centroid", "dim_idx", F.round("m", 9).alias("m"))
+    )
+
+
 def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
     """(vec_id, scale, qvec) → (vec_id, embedding array<float>): x̂_i =
     q_i · scale. Reconstruction error per element ≤ scale/2 (≤ max|x|/254)."""

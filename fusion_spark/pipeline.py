@@ -235,6 +235,7 @@ def curate_corpus(
     num_hashes: int = 4,
     band_size: int = 2,
     near_dup_policy: str = "pairs",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns the curated (doc_id, quality) survivors:
 
@@ -250,6 +251,9 @@ def curate_corpus(
          * "cc": connected components over the verified pairs
            (dedup.duplicate_clusters) — exactly ONE survivor (the min
            doc_id) per near-dup component, the web-scale keep-one policy.
+
+    `stats_out` (cc policy only): forwarded to duplicate_clusters, filled
+    with rounds-to-convergence and per-round wall seconds.
     """
     d = docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -268,7 +272,9 @@ def curate_corpus(
     sh = dedup.shingles(stage2, n=shingle_n)
     near = dedup.jaccard_pairs(sh, min_jaccard=jaccard_threshold, candidates=cands)
     if near_dup_policy == "cc":
-        clusters = dedup.duplicate_clusters(near.select("doc_a", "doc_b"))
+        clusters = dedup.duplicate_clusters(
+            near.select("doc_a", "doc_b"), stats_out=stats_out
+        )
         drops = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
     elif near_dup_policy == "pairs":
         drops = near.select(F.col("doc_b").alias("doc_id")).distinct()

@@ -334,6 +334,147 @@ def sessionize_stream(
     return spark.table(name)
 
 
+def sessionize_stream_bucketed(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    gap_us: int = _SESSION_GAP_US_DEFAULT,
+    lateness: str = "1 hour",
+    n_buckets: int = 512,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+):
+    """`sessionize_stream` with COARSE state partitioning: the stateful group
+    key is `pmod(hash(user_id), n_buckets)` instead of user_id, so one state
+    row (and one Python call + one Arrow round-trip per micro-batch) serves
+    MANY users. The per-user variant pays applyInPandasWithState's per-group
+    overhead once per user per micro-batch — at 50k users that fixed cost,
+    not the kernel, is the throughput floor (BENCH.md r4: 16.8k events/s).
+    Here the kernel is vectorized ACROSS users: one sort, one numpy
+    boundary/reduceat pass for session segments, one pandas interval-merge
+    (per-user cummax) against the open-session table carried in state.
+
+    Semantics are identical to sessionize_stream (same closed-session rows);
+    the trade is state-row granularity: a bucket's open sessions live in one
+    state value, so state reads/writes move ~users_per_bucket entries per
+    micro-batch, and the event-time timeout fires per bucket (earliest open
+    session across the bucket's users). n_buckets tunes the trade: more
+    buckets → less state movement per row, more per-group overhead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = (
+        "users array<long>, starts array<long>, ends array<long>, "
+        "ns array<long>, ss array<double>"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        cols: dict[str, np.ndarray] = {
+            "u": np.empty(0, np.int64), "s": np.empty(0, np.int64),
+            "e": np.empty(0, np.int64), "n": np.empty(0, np.int64),
+            "v": np.empty(0, np.float64),
+        }
+        if state.exists:
+            users, starts, ends, ns, ss = state.get
+            cols = {
+                "u": np.asarray(users, np.int64), "s": np.asarray(starts, np.int64),
+                "e": np.asarray(ends, np.int64), "n": np.asarray(ns, np.int64),
+                "v": np.asarray(ss, np.float64),
+            }
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if len(batch):
+                batch = batch.sort_values(["user_id", "ts", "event_id"])
+                uarr = batch["user_id"].to_numpy(np.int64)
+                t = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+                v = batch["value"].to_numpy(dtype=np.float64)
+                # one vectorized pass over ALL the bucket's users: a segment
+                # breaks on user change or gap exceeded
+                brk = np.concatenate(
+                    ([True], (uarr[1:] != uarr[:-1]) | (t[1:] - t[:-1] > gap_us))
+                )
+                b0 = np.flatnonzero(brk)
+                b1 = np.concatenate((b0[1:], [t.size]))
+                cols = {
+                    "u": np.concatenate((cols["u"], uarr[b0])),
+                    "s": np.concatenate((cols["s"], t[b0])),
+                    "e": np.concatenate((cols["e"], t[b1 - 1])),
+                    "n": np.concatenate((cols["n"], b1 - b0)),
+                    "v": np.concatenate((cols["v"], np.add.reduceat(v, b0))),
+                }
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if cols["u"].size:
+            # vectorized per-user interval merge: sort by (user, start), use
+            # the running max end within each user so chained overlaps
+            # coalesce; counts/sums are order-invariant so late events
+            # merging into the middle of an open session stay exact
+            df = pd.DataFrame(cols).sort_values(["u", "s"], kind="mergesort",
+                                                ignore_index=True)
+            cme = df.groupby("u", sort=False)["e"].cummax()
+            new_grp = df["u"].ne(df["u"].shift()) | (
+                df["s"] - cme.shift() > gap_us
+            )
+            gid = new_grp.cumsum()
+            merged = df.groupby(gid, sort=False).agg(
+                u=("u", "first"), s=("s", "min"), e=("e", "max"),
+                n=("n", "sum"), v=("v", "sum"),
+            )
+            closed = merged[merged["e"] + gap_us < wm_us]
+            open_ = merged[merged["e"] + gap_us >= wm_us]
+        else:
+            closed = open_ = pd.DataFrame(columns=["u", "s", "e", "n", "v"])
+        if len(open_):
+            state.update(
+                (
+                    open_["u"].tolist(), open_["s"].tolist(), open_["e"].tolist(),
+                    open_["n"].tolist(), open_["v"].tolist(),
+                )
+            )
+            to_ms = (int(open_["e"].min()) + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(to_ms, wm_ms + 1))
+        else:
+            state.remove()
+        if len(closed):
+            closed = closed.sort_values(["u", "s"])
+            yield pd.DataFrame(
+                {
+                    "user_id": closed["u"].to_numpy(),
+                    "session_start": pd.to_datetime(closed["s"].to_numpy(), unit="us"),
+                    "session_end": pd.to_datetime(closed["e"].to_numpy(), unit="us"),
+                    "n_events": closed["n"].to_numpy(),
+                    "sum_value": closed["v"].to_numpy(),
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .withWatermark("ts", lateness)
+        .withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+    )
+    sessions = stream.groupBy("bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+    _MEMSINK_COUNTER[0] += 1
+    name = f"sessions_bkt_{_MEMSINK_COUNTER[0]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def dedup_stream(
     spark: SparkSession,
     landing_dir: str,

@@ -930,3 +930,25 @@ def test_multimodal_real_decoders_end_to_end(spark):
         multimodal.decode_image_netpbm(b"P5\n4 4\n255\n\x00")
     with pytest.raises(ValueError, match="missing fmt"):
         multimodal.decode_audio_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_ivf_lloyd_step_quantized_hand_case(spark):
+    """One Lloyd step over quantized vectors on a hand-checkable layout:
+    two tight groups on the x/y axes. Seeds = the 2 lowest vec_ids (one per
+    group); every vector must assign to its group's seed and the new
+    centroid means must be the exact per-group integer means."""
+    from fusion_spark.extras.similarity import ivf_lloyd_step_quantized
+
+    rows = [
+        (0, [1.0, 0.0]), (2, [0.5, 0.0]), (4, [2.0, 0.1]),
+        (1, [0.0, 1.0]), (3, [0.0, 0.4]), (5, [0.1, 2.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["centroid"], r["dim_idx"]): r["m"]
+           for r in ivf_lloyd_step_quantized(embs, n_centroids=2).collect()}
+    # quantized codes: scale = max|x|/127 per vector -> x-axis group codes
+    # [127,0],[127,0],[127,6]; y-axis group [0,127],[0,127],[6,127]
+    assert out[(0, 0)] == pytest.approx((127 + 127 + 127) / 3)
+    assert out[(0, 1)] == pytest.approx((0 + 0 + 6) / 3)
+    assert out[(1, 0)] == pytest.approx((0 + 0 + 6) / 3)
+    assert out[(1, 1)] == pytest.approx((127 + 127 + 127) / 3)

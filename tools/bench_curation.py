@@ -98,10 +98,35 @@ def build_corpus(spark, n_docs: int):
     )
 
 
+def jvm_peak_rss_mb() -> int | None:
+    """Peak RSS (VmHWM) of the py4j JVM child — the process that actually
+    holds executor memory in local mode; the Python driver's own RSS is
+    not the number that matters."""
+    import glob
+
+    me = os.getpid()
+    for sdir in glob.glob("/proc/[0-9]*"):
+        try:
+            fields = {}
+            with open(sdir + "/status") as f:
+                for line in f:
+                    k, _, v = line.partition(":")
+                    fields[k] = v.strip()
+            if fields.get("Name") == "java" and fields.get("PPid") == str(me):
+                return int(fields["VmHWM"].split()[0]) // 1024
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_200_000)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override shuffle partitions (default cores*2); at "
+                         "10M+ docs use ~256 so per-task agg/join state fits "
+                         "the executor share of the heap")
     args = ap.parse_args()
 
     from fusion_spark.corpus import chunk_documents
@@ -109,7 +134,8 @@ def main() -> int:
     from fusion_spark.pipeline import curate_corpus, select_by_token_budget
     from fusion_spark.session import get_spark
 
-    spark = get_spark(app_name="curation-bench", cores=args.cores)
+    spark = get_spark(app_name="curation-bench", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
     walls, counts = {}, {}
 
     t0 = time.time()
@@ -118,10 +144,12 @@ def main() -> int:
     walls["generate"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    cc_stats: dict = {}
     survivors = curate_corpus(docs, min_quality=0.05, jaccard_threshold=0.6,
-                              near_dup_policy="cc")
+                              near_dup_policy="cc", stats_out=cc_stats)
     counts["survivors"] = survivors.count()
     walls["curate_cc"] = round(time.time() - t0, 2)
+    counts.update(cc_stats)  # rounds-to-convergence + per-round wall
 
     # audit: recompute the banding curate_corpus used on its post-exact-dedup
     # stage and list every bucket the guard star-paired — capping must be
@@ -161,7 +189,9 @@ def main() -> int:
     walls["chunk"] = round(time.time() - t0, 2)
 
     walls["total"] = round(sum(walls.values()), 2)
-    print(json.dumps({"walls_sec": walls, **counts, "cores": args.cores}))
+    peak = jvm_peak_rss_mb()
+    print(json.dumps({"walls_sec": walls, **counts, "cores": args.cores,
+                      "jvm_peak_rss_mb": peak}))
     spark.stop()
     return 0
 

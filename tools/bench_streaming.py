@@ -49,8 +49,17 @@ def _stage_slice(df, landing: str, name: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_sessionize(spark, n_events: int, n_users: int) -> dict:
-    from fusion_spark.streaming import sessionize, sessionize_stream
+def bench_sessionize(spark, n_events: int, n_users: int, variant: str = "per_user",
+                     n_buckets: int = 512) -> dict:
+    """variant='per_user' drives sessionize_stream (state key = user_id);
+    variant='bucketed' drives sessionize_stream_bucketed (state key =
+    hash(user_id) % n_buckets — r4 verdict #4's coarse-state experiment).
+    Both are checked stream==batch against the same `sessionize` twin."""
+    from fusion_spark.streaming import (
+        sessionize,
+        sessionize_stream,
+        sessionize_stream_bucketed,
+    )
 
     k = (F.col("id") / n_users).cast("long")
     ts_s = k * STEP_S + (k / SESS_EVENTS).cast("long") * BLOCK_S
@@ -84,7 +93,10 @@ def bench_sessionize(spark, n_events: int, n_users: int) -> dict:
     _stage_slice(heartbeat, landing, f"part-{slices:04d}.parquet")
 
     t0 = time.time()
-    out = sessionize_stream(spark, landing, ckpt)
+    if variant == "bucketed":
+        out = sessionize_stream_bucketed(spark, landing, ckpt, n_buckets=n_buckets)
+    else:
+        out = sessionize_stream(spark, landing, ckpt)
     # sum_value rounded 6dp on both sides: the stream accumulates partial
     # sums across state merges in a different float order than the batch
     # aggregate — the repo's standard cross-engine tie contract
@@ -110,6 +122,8 @@ def bench_sessionize(spark, n_events: int, n_users: int) -> dict:
     shutil.rmtree(landing, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
+        "variant": variant,
+        **({"n_buckets": n_buckets} if variant == "bucketed" else {}),
         "n_events": n_events,
         "n_users": n_users,
         "micro_batches": slices + 1,
@@ -161,16 +175,34 @@ def main() -> int:
     ap.add_argument("--n-users", type=int, default=50_000)
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--experiment-buckets", type=int, default=0, metavar="N",
+                    help="run ONLY the sessionizer state-granularity experiment: "
+                         "per-user vs N-bucket coarse state on the same input")
     args = ap.parse_args()
 
     from fusion_spark.session import get_spark
 
     spark = get_spark(app_name="streaming-bench", cores=args.cores)
-    res = {
-        "sessionize_stream": bench_sessionize(spark, args.n_events, args.n_users),
-        "dedup_stream": bench_dedup(spark, args.n_docs, args.n_docs * 7 // 10),
-        "cores": args.cores,
-    }
+    if args.experiment_buckets:
+        per_user = bench_sessionize(spark, args.n_events, args.n_users)
+        bucketed = bench_sessionize(spark, args.n_events, args.n_users,
+                                    variant="bucketed",
+                                    n_buckets=args.experiment_buckets)
+        res = {
+            "experiment": "sessionizer_state_granularity",
+            "per_user": per_user,
+            "bucketed": bucketed,
+            "speedup": round(
+                bucketed["events_per_sec"] / per_user["events_per_sec"], 2
+            ),
+            "cores": args.cores,
+        }
+    else:
+        res = {
+            "sessionize_stream": bench_sessionize(spark, args.n_events, args.n_users),
+            "dedup_stream": bench_dedup(spark, args.n_docs, args.n_docs * 7 // 10),
+            "cores": args.cores,
+        }
     print(json.dumps(res))
     spark.stop()
     return 0

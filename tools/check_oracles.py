@@ -2,13 +2,21 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row-count + sorted-column value multisets.
 
-Usage: python tools/check_oracles.py [sf_dir] [only_name ...]
+Per-query Spark wall seconds are recorded and printed as a sorted timing
+table at the end — running this at sf0.1 each round is the standing plan-
+regression check (r4 verdict #5: the 200× inferred-filter double-evaluation
+was caught as a wall-time outlier in exactly this sweep). `--json PATH`
+additionally dumps {name: sec} for BENCH.md.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_name ...] [--json PATH]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -35,8 +43,14 @@ def to_rows(cols, data):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -46,13 +60,16 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             sdata = [tuple(r) for r in sdf.collect()]
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL-spark] {name}: {str(e)[:200]}")
@@ -82,6 +99,14 @@ def main():
             print(f"[FAIL-vals] {name}: first diffs {diff}")
         else:
             print(f"[OK] {name}: {len(a)} rows")
+    if timings:
+        print("\nSpark wall per query (sec, sorted desc — plan-regression watch):")
+        for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+            print(f"  {sec:8.2f}  {name}")
+        print(f"  {sum(timings.values()):8.2f}  TOTAL ({len(timings)} queries)")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "spark_sec": timings}, fh)
     print(f"\n{len(failures)} failures" + (f": {[f[0] for f in failures]}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
