@@ -493,8 +493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """F2+F3 under one gate entry (`method` column): RRF-60 and the
         reference's (n-rank+2)/n Borda quirk over the same two legs."""
         out = None
+        legs = _legs(spark, sf_dir)  # ONE frame for all branches: identical
+        # subtrees canonicalize equal, so ReuseExchange materializes the
+        # search legs' shuffles once across the union
         for m in ("rrf", "bcf"):
-            leg = _rounded(fz.fuse(_legs(spark, sf_dir), method=m, return_topk=10))
+            leg = _rounded(fz.fuse(legs, method=m, return_topk=10))
             leg = leg.withColumn("method", F.lit(m)).select(
                 "method", "qid", "doc_id", "score", "rank"
             )
@@ -511,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         11 possible Φ⁻¹ outputs as a VALUES lookup — see _nce_values."""
         needs_distr = {"percentile-rank", "normal-curve-equivalent"}
         out = None
+        legs = _legs(spark, sf_dir)  # ONE frame for all five branches (see
+        # fusion_rank) — per-branch _legs() calls rebuilt both search legs
+        # from scratch five times
         for m in ("min-max", "z-score", "arctan", "percentile-rank",
                   "normal-curve-equivalent"):
             kw = (
@@ -518,7 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 if m in needs_distr else {}
             )
             leg = _rounded(
-                fz.fuse(_legs(spark, sf_dir), method="nsf", normalization=m,
+                fz.fuse(legs, method="nsf", normalization=m,
                         weights={"bm25": 0.5, "tfidf": 0.5}, return_topk=10, **kw)
             )
             leg = leg.withColumn("method", F.lit(m)).select(
