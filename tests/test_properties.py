@@ -83,3 +83,51 @@ def test_zscore_norm_center(scores):
         # inputs like [1e6, 1e6+eps, ...] where sd is tiny vs the offset
         cond = abs(float(x32.mean())) / float(sd)
         assert abs(vals.mean()) < 1e-2 * (1.0 + cond)
+
+
+@given(
+    st.lists(st.integers(0, 2**15 - 1), min_size=1, max_size=64),
+    st.integers(1, 8),
+)
+@settings(max_examples=50, deadline=None)
+def test_netpbm_16bit_roundtrip_property(samples, width):
+    """Any integer raster encoded as a 16-bit P5 decodes back to the exact
+    sample values with the declared geometry (pure-Python decoder,
+    multimodal.decode_image_netpbm)."""
+    import struct
+
+    from fusion_spark.extras.multimodal import decode_image_netpbm
+
+    height = (len(samples) + width - 1) // width
+    pad = [0] * (width * height - len(samples))
+    vals = samples + pad
+    payload = (f"P5\n{width} {height}\n32767\n").encode() + struct.pack(
+        f">{len(vals)}H", *vals
+    )
+    img = decode_image_netpbm(payload)
+    assert img["width"] == width and img["height"] == height
+    assert img["maxval"] == 32767 and img["channels"] == 1
+    assert img["pixels"].tolist() == [float(v) for v in vals]
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=128),
+       st.sampled_from([8000, 16000, 44100]),
+       st.integers(1, 2))
+@settings(max_examples=50, deadline=None)
+def test_wav_pcm16_roundtrip_property(samples, rate, n_ch):
+    """Any PCM16 sample stream round-trips through the RIFF/WAVE decoder:
+    header fields exact, samples normalized by 32768 exactly."""
+    import struct
+
+    from fusion_spark.extras.multimodal import decode_audio_wav
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    out = decode_audio_wav(wav)
+    assert out["n_channels"] == n_ch and out["sample_rate"] == rate and out["bits"] == 16
+    assert out["samples"].tolist() == [s / 32768.0 for s in samples]
