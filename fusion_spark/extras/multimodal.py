@@ -95,6 +95,11 @@ def decode_image_netpbm(data: bytes) -> dict:
     width, height, maxval = fields
     if not (0 < maxval < 65536):
         raise ValueError(f"netpbm maxval {maxval} out of range")
+    if not data[pos : pos + 1].isspace():
+        raise ValueError(
+            f"netpbm header not followed by a whitespace byte "
+            f"(got {data[pos : pos + 1]!r} at offset {pos})"
+        )
     pos += 1  # exactly one whitespace byte separates header and raster
     n = width * height * channels
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
@@ -125,6 +130,11 @@ def decode_audio_wav(data: bytes) -> dict:
     pos, fmt, pcm = 12, None, None
     while pos + 8 <= len(data):
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"WAVE chunk {cid!r} truncated: declares {size} bytes, "
+                f"only {len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])

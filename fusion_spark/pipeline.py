@@ -113,10 +113,26 @@ def select_by_token_budget(
     # Canonicalize budget keys to Spark's string-cast of the group column —
     # Python str() alone diverges for bool (str(True)='True' vs Spark 'true')
     # and for float groups keyed by int budgets (5 vs Spark's '5.0'), which
-    # would silently match nothing and drop every doc in the group. Bool and
-    # integral types are canonicalized; fractional/other group types raise
-    # (float equality is no basis for a budget key — cast the column first).
-    from pyspark.sql.types import BooleanType, ByteType, IntegerType, LongType, ShortType, StringType
+    # would silently match nothing and drop every doc in the group. Bool,
+    # integral, date, and timestamp types are canonicalized (date/timestamp
+    # render exactly like Spark's string cast: ISO date, and timestamps with
+    # the fractional part trimmed of trailing zeros / omitted at whole
+    # seconds — assumes naive datetimes in the session timezone, UTC here);
+    # fractional/other group types raise (float equality is no basis for a
+    # budget key — cast the column first).
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     def _canon(k):
         if k is None:
@@ -125,6 +141,15 @@ def select_by_token_budget(
             return "true" if k in (True, "true", "True", 1) else "false"
         if isinstance(grp_type, (ByteType, ShortType, IntegerType, LongType)):
             return str(int(k))
+        if isinstance(grp_type, (TimestampType, TimestampNTZType)):
+            if isinstance(k, _dt.datetime):
+                s = k.strftime("%Y-%m-%d %H:%M:%S")
+                if k.microsecond:
+                    s += ("." + f"{k.microsecond:06d}").rstrip("0")
+                return s
+            return str(k)
+        if isinstance(grp_type, DateType):
+            return k.isoformat() if isinstance(k, _dt.date) else str(k)
         if isinstance(grp_type, StringType):
             return str(k)
         raise ValueError(

@@ -854,6 +854,42 @@ def test_select_by_token_budget_fractional_group_raises(spark):
         select_by_token_budget(docs, {5: 10}, group_col="grp").collect()
 
 
+def test_select_by_token_budget_date_and_timestamp_groups(spark):
+    """r5 advice: date/timestamp group columns are canonical budget keys —
+    str(date) and the trimmed-fraction datetime render match Spark's string
+    cast exactly, so they must not fall into the fractional-raise branch."""
+    import datetime as dt
+
+    from fusion_spark.pipeline import select_by_token_budget
+
+    d1, d2 = dt.date(2026, 1, 1), dt.date(2026, 1, 2)
+    docs = spark.createDataFrame(
+        [(1, d1, "a b c"), (2, d2, "d e"), (3, d1, "f g"), (4, d2, "h")],
+        "doc_id long, day date, text string",
+    )
+    got = {
+        r["doc_id"]: (r["day"], r["cum_tokens"])
+        for r in select_by_token_budget(
+            docs, {d1: 4, d2: 2}, group_col="day", num_partitions=2
+        ).collect()
+    }
+    assert got == {1: (d1, 3), 2: (d2, 2)}
+
+    t1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    t2 = dt.datetime(2026, 1, 1, 12, 0, 0, 500000)  # Spark casts as '...12:00:00.5'
+    tocs = spark.createDataFrame(
+        [(1, t1, "a b c"), (2, t2, "d e"), (3, t1, "f g")],
+        "doc_id long, ts timestamp, text string",
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_token_budget(
+            tocs, {t1: 3, t2: 2}, group_col="ts", num_partitions=2
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2}
+
+
 def test_duplicate_clusters_checkpoint_cleanup(spark, tmp_path):
     """r4 advice: reliable CC checkpoints accumulated one label-frame copy
     per round (Spark only cleans them with cleanCheckpoints=true, off by
@@ -930,6 +966,21 @@ def test_multimodal_real_decoders_end_to_end(spark):
         multimodal.decode_image_netpbm(b"P5\n4 4\n255\n\x00")
     with pytest.raises(ValueError, match="missing fmt"):
         multimodal.decode_audio_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # r5 advice: a data chunk declaring more bytes than remain raises the
+    # same loud truncation error as netpbm (8-bit PCM used to decode short
+    # silently; 16/32-bit died with an opaque numpy buffer error)
+    short = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 8) + b"\x80\x80"  # declares 8, has 2
+    )
+    with pytest.raises(ValueError, match="chunk b'data' truncated"):
+        multimodal.decode_audio_wav(short)
+    # r5 advice: a non-whitespace byte right after maxval shifts the raster
+    # offset — must fail loudly, not decode garbage
+    with pytest.raises(ValueError, match="not followed by a whitespace"):
+        multimodal.decode_image_netpbm(b"P5 1 1 255#c\n\x00\x00")
 
 
 def test_ivf_lloyd_step_quantized_hand_case(spark):
