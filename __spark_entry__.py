@@ -8,7 +8,9 @@ the hash-universe ops (simhash, winnowing fingerprint via hex-nibble bit
 extraction), the LSH paths (deterministic md5 hyperplanes inlined as SQL
 literals), NCE (the 11 fixed Φ⁻¹ outputs as a VALUES lookup), IVF (seed
 centroids = lowest-vec_id embedding rows, byte-identical in both engines),
-and the multimodal stub — every queries() entry has an oracle.
+and the multimodal family (sha256 stub rows plus REAL netpbm/WAV decoder
+rows against a hand-derived VALUES table) — every queries() entry has an
+oracle.
 
 Column-name/round contract: every computed column is aliased identically on
 both sides and doubles are rounded (6 dp) so the driver's value-hash compare
@@ -851,6 +853,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def multimodal_features(spark, sf_dir):
+        """Family query, `path` discriminator: `stub` = the sha256 fake
+        feature over md5 payloads of every document (cross-engine hash
+        check of the mapInPandas plumbing); `real` = six hand-built
+        netpbm/WAV payloads through `decode_stub=False`, so the REAL
+        decoders (netpbm P5/P6 incl. 16-bit rasters, RIFF/WAVE PCM
+        8/16/32-bit) are exercised end-to-end under the gate. The real
+        oracle is a hand-derived VALUES table: payloads are chosen so every
+        pixel/sample stat is an exact binary fraction or a single sqrt, and
+        the float32 truncation of FEATURE_SCHEMA's FloatType is replicated
+        in SQL via a `::REAL` round-trip."""
+        import struct
+
         from fusion_spark.extras import multimodal
 
         media = _docs(spark, sf_dir).select(
@@ -862,16 +876,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(64).cast("long").alias("meta_height"),
             (F.pmod("doc_id", F.lit(5)) * 1000).cast("long").alias("meta_duration_ms"),
         )
-        feats = multimodal.extract_features(media, dim=8)
-        return feats.select(
-            "media_id", "kind", "n_bytes", F.posexplode("feature").alias("dim_idx", "value")
-        ).select(
-            "media_id",
-            "kind",
-            "n_bytes",
-            F.col("dim_idx").cast("long").alias("dim_idx"),
-            # byte/256 is exact in float32 AND float64 → lossless cast
-            F.col("value").cast("double").alias("value"),
+
+        def shape(feats, path):
+            return feats.select(
+                F.lit(path).alias("path"), "media_id", "kind", "n_bytes",
+                F.posexplode("feature").alias("dim_idx", "value"),
+            ).select(
+                "path", "media_id", "kind", "n_bytes",
+                F.col("dim_idx").cast("long").alias("dim_idx"),
+                # stub: byte/256 is exact in float32 AND float64; real: the
+                # oracle replicates the float32 step with a ::REAL cast
+                F.col("value").cast("double").alias("value"),
+            )
+
+        # deterministic payloads with hand-computable stats (normalized
+        # pixel/sample sets {0, ±0.5, ±1} → exact means/stds; the two
+        # non-dyadic stats are single sqrts the oracle writes symbolically)
+        pgm = b"P5\n2 2\n255\n" + bytes([0, 255, 255, 0])
+        ppm = b"P6\n1 2\n255\n" + bytes([255, 0, 255, 0, 255, 0])
+        pgm16 = b"P5\n1 1\n512\n" + struct.pack(">H", 256)
+
+        def wav(n_ch, rate, bits, pcm):
+            block = n_ch * bits // 8
+            return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+        wav16 = wav(1, 8000, 16, struct.pack("<4h", 16384, -16384, 16384, -16384))
+        wav8 = wav(2, 44100, 8, bytes([128, 128, 192, 64]))
+        wav32 = wav(1, 1000, 32, struct.pack("<2i", 1073741824, -2147483648))
+        real_media = spark.createDataFrame(
+            [(9000001, "image", pgm.hex(), 2, 2, 0),
+             (9000002, "image", ppm.hex(), 1, 2, 0),
+             (9000003, "image", pgm16.hex(), 1, 1, 0),
+             (9000004, "audio", wav16.hex(), 0, 0, 1),
+             (9000005, "audio", wav8.hex(), 0, 0, 1),
+             (9000006, "audio", wav32.hex(), 0, 0, 2)],
+            "media_id long, kind string, payload string, meta_width long, "
+            "meta_height long, meta_duration_ms long",
+        )
+        return shape(multimodal.extract_features(media, dim=8), "stub").unionByName(
+            shape(multimodal.extract_features(real_media, dim=8, decode_stub=False),
+                  "real")
         )
 
     # ≤ 50 entries — the driver's correctness-gate artifact caps at 50
@@ -1697,11 +1744,31 @@ WITH media AS (
          ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
          sha256(md5(text)) AS sh
   FROM documents
+),
+-- real-decoder rows: hand-derived pixel/sample stats for the six payloads
+-- the Spark side builds (see multimodal_features docstring). feature =
+-- [w,h,channels,maxval,mean,std,min,max] for images,
+-- [n_ch,rate,bits,n_samples,mean,rms,min,max] for audio. ::REAL replicates
+-- the engine's float32 feature storage before the double compare.
+real_rows AS (
+  SELECT * FROM (VALUES
+    (9000001, 'image', 15, [2.0, 2.0, 1.0, 255.0, 0.5, 0.5, 0.0, 1.0]),
+    (9000002, 'image', 17, [1.0, 2.0, 3.0, 255.0, 0.5, 0.5, 0.0, 1.0]),
+    (9000003, 'image', 13, [1.0, 1.0, 1.0, 512.0, 0.5, 0.0, 0.5, 0.5]),
+    (9000004, 'audio', 52, [1.0, 8000.0, 16.0, 4.0, 0.0, 0.5, -0.5, 0.5]),
+    (9000005, 'audio', 48, [2.0, 44100.0, 8.0, 4.0, 0.0, sqrt(0.125), -0.5, 0.5]),
+    (9000006, 'audio', 52, [1.0, 1000.0, 32.0, 2.0, -0.25, sqrt(0.625), -1.0, 0.5])
+  ) t(media_id, kind, n_bytes, feat)
 )
-SELECT media_id, kind, 16::BIGINT AS n_bytes, i AS dim_idx,
+SELECT 'stub' AS path, media_id, kind, 16::BIGINT AS n_bytes, i AS dim_idx,
   (((strpos('0123456789abcdef', substr(sh, 2*i+1, 1)) - 1) * 16
    + (strpos('0123456789abcdef', substr(sh, 2*i+2, 1)) - 1)) / 256.0) AS value
 FROM media CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+UNION ALL
+SELECT 'real' AS path, media_id::BIGINT AS media_id, kind,
+       n_bytes::BIGINT AS n_bytes, i AS dim_idx,
+       ((feat[(i + 1)::INT]::REAL)::DOUBLE) AS value
+FROM real_rows CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
 """,
         "lang_id": f"""
 WITH {_SQL_TOKS},
