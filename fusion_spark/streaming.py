@@ -475,6 +475,76 @@ def sessionize_stream_bucketed(
     return spark.table(name)
 
 
+# Distinct-user count above which the bucketed sessionizer wins: below it,
+# per-user state rows are few enough that applyInPandasWithState's fixed
+# per-group cost is noise and per-user granularity gives cheaper state
+# reads/writes and finer timeouts; above it, that fixed cost (one Python
+# call + Arrow round-trip per user per micro-batch) becomes the throughput
+# floor — measured 4.31× for the bucketed kernel at 2M events / 50k users
+# (BENCH.md r5 sessionizer experiment). The crossover sits where per-group
+# overhead (~0.2 ms) times users rivals the kernel wall per micro-batch.
+_BUCKETED_USER_CUTOVER = 2048
+
+
+def sessionize_stream_auto(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    gap_us: int = _SESSION_GAP_US_DEFAULT,
+    lateness: str = "1 hour",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    n_users: int | None = None,
+    user_cutover: int = _BUCKETED_USER_CUTOVER,
+    route_out: dict | None = None,
+):
+    """One sessionization entry point that picks the state-granularity
+    variant for the caller (r5 verdict #3 — the 4.31× trade should not
+    require knowing it exists):
+
+    * distinct users ≤ `user_cutover` → `sessionize_stream` (state row per
+      user: minimal state movement per micro-batch, per-user timeouts);
+    * above it → `sessionize_stream_bucketed` with
+      ``n_buckets = clamp(n_users // 100, 64, 4096)`` — ~100 users per
+      state row keeps the vectorized kernel's batches fat while bounding
+      how much open-session state one bucket row drags through each
+      read/write.
+
+    `n_users` is the caller's cardinality estimate (pass it for live
+    streams); when omitted it is estimated with one cheap batch
+    `approx_count_distinct` scan over the landing dir's CURRENT contents —
+    sound for the availableNow backfill drives this module targets, an
+    undercount for a landing dir that keeps growing (pass `n_users` then).
+    Both routes emit identical closed-session rows (stream==batch tests
+    cover the dispatcher on each side of the cutover); `route_out` (a dict)
+    receives {route, n_users, n_buckets} for observability."""
+    if n_users is None:
+        try:
+            n_users = (
+                spark.read.schema(schema)
+                .parquet(landing_dir)
+                .agg(F.approx_count_distinct("user_id"))
+                .collect()[0][0]
+            )
+        except Exception:  # empty/unreadable landing dir → cheapest route
+            n_users = 0
+    if n_users > user_cutover:
+        n_buckets = min(max(int(n_users) // 100, 64), 4096)
+        if route_out is not None:
+            route_out.update(
+                {"route": "bucketed", "n_users": int(n_users), "n_buckets": n_buckets}
+            )
+        return sessionize_stream_bucketed(
+            spark, landing_dir, checkpoint_dir, gap_us=gap_us,
+            lateness=lateness, n_buckets=n_buckets, schema=schema,
+        )
+    if route_out is not None:
+        route_out.update({"route": "per_user", "n_users": int(n_users), "n_buckets": None})
+    return sessionize_stream(
+        spark, landing_dir, checkpoint_dir, gap_us=gap_us,
+        lateness=lateness, schema=schema,
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     landing_dir: str,

@@ -372,3 +372,76 @@ def test_sessionize_stream_bucketed_random_parity(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 30
+
+
+def test_sessionize_stream_auto_routes_both_variants(spark, tmp_path):
+    """The dispatcher (r5 verdict #3) must pick per-user below the cutover
+    and bucketed above it — with the SAME closed sessions either way — and
+    report its routing decision through route_out."""
+    import datetime
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fusion_spark.streaming import sessionize, sessionize_stream_auto
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(events_path)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    users = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(events_path, landing / "a_events.parquet")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # per-user sentinels close every user's open session on BOTH routes (the
+    # bucketed route only needs one global heartbeat, but per-user sentinels
+    # satisfy it too — the watermark is global)
+    sent = spark.createDataFrame(
+        [
+            (20_000_000 + i, max_ts + datetime.timedelta(days=10), u, "__sentinel__", 0.0, "")
+            for i, u in enumerate(users)
+        ],
+        schema,
+    )
+    d = tmp_path / "sentinels"
+    sent.coalesce(1).write.parquet(str(d))
+    shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], landing / "z_sentinels.parquet")
+
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in sessionize(events).collect()
+    )
+
+    def run(**kw):
+        route: dict = {}
+        out = sessionize_stream_auto(
+            spark, str(landing), str(tmp_path / f"ckpt_{len(list(tmp_path.iterdir()))}"),
+            route_out=route, **kw,
+        )
+        got = sorted(
+            (r["user_id"], r["session_start"].strftime("%Y-%m-%d %H:%M:%S"),
+             r["session_end"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"],
+             round(r["sum_value"], 6))
+            for r in out.collect()
+            if r["session_start"] <= max_ts
+        )
+        return got, route
+
+    # default cutover (2048) >> distinct users here → per-user route
+    got, route = run()
+    assert route["route"] == "per_user" and route["n_buckets"] is None
+    assert 0 < route["n_users"] <= 2048
+    assert got == want and len(got) > 0
+
+    # forced-low cutover → bucketed route, n_buckets clamped to the 64 floor
+    got, route = run(user_cutover=1)
+    assert route == {"route": "bucketed", "n_users": route["n_users"], "n_buckets": 64}
+    assert got == want
+
+    # n_buckets heuristic: users//100 between the clamps
+    got, route = run(n_users=50_000)
+    assert route["route"] == "bucketed" and route["n_buckets"] == 500
+    assert got == want
