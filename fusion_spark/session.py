@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle reads by MAP-OUTPUT BYTES and cannot see a
+        # downstream row multiplication: a small aggregate feeding a combo
+        # cross-join (the fused tuning grids: 23k rows / 1.7 MB exchanged,
+        # then ×187 combos + an interpreted fold) coalesces to ONE task and
+        # the whole expansion runs serially (event-log-measured 18.6 s
+        # single-task stage; r6). parallelismFirst exists for exactly this,
+        # but its floor is minPartitionSize (default 1 MB) — far above such
+        # exchanges. 64k keeps small-byte/CPU-heavy reads at full
+        # parallelism and is inert at scale (real partitions are ≥ the
+        # 64 MB advisory size, so this floor never binds there).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
