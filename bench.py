@@ -167,10 +167,16 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
     @timed("ir_metrics")
     def _metrics():
+        # noop sink, NOT count(): count lets Catalyst prune the metric fold
+        # expressions (recall/map/mrr/ndcg arithmetic) and measures only the
+        # join skeleton — 2.5× under-measurement, found r6. The other sinks
+        # are materialization-honest as-is: index_build persists, bm25
+        # caches, fusion/cosine force scores through their rank ordering,
+        # and the LSH pair join IS the measured work.
         metrics_per_query(
             ranked.select("qid", "doc_id", "rank"), qrels,
             recall_k=(10, 100), map_k=(10,), mrr_k=(10,), ndcg_k=(10,),
-        ).count()
+        ).write.format("noop").mode("overwrite").save()
 
     @timed("minhash_lsh_dedup")
     def _dedup():
