@@ -597,29 +597,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("`r-precision`", 6).alias("r_precision"),
         )
 
+    def _docs_wide(spark, sf_dir):
+        # shingle/minhash map work over a single-file parquet scan runs on
+        # ONE input partition — spread it first (same reason and width as
+        # doc_sketches; r6 event-log hunt found the dedup family's scan
+        # stages serial: ~25% off dup_clusters' wall). Row-local ops →
+        # values identical at any partitioning.
+        return _docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2, "doc_id"
+        )
+
     def exact_dedup(spark, sf_dir):
         return dedup.exact_duplicates(_docs(spark, sf_dir))
 
     def minhash_signatures(spark, sf_dir):
-        return dedup.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=4).select(
+        return dedup.minhash_signatures(_docs_wide(spark, sf_dir), n=3, num_hashes=4).select(
             "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
         )
 
     def dup_clusters(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
+        docs = _docs_wide(spark, sf_dir)
         sigs = dedup.minhash_signatures(docs, n=3, num_hashes=4)
         pairs = dedup.lsh_candidate_pairs(sigs, band_size=2)
         return dedup.duplicate_clusters(pairs, nodes=docs.select("doc_id"))
 
     def lsh_candidates(spark, sf_dir):
-        sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=4)
+        sigs = dedup.minhash_signatures(_docs_wide(spark, sf_dir), n=3, num_hashes=4)
         return dedup.lsh_candidate_pairs(sigs, band_size=2)
 
     def jaccard_pairs(spark, sf_dir):
         # the scale pipeline: MinHash-LSH candidates → exact Jaccard verify
         # (no un-banded quadratic shingle self-join in the plan); the oracle
         # mirrors the banding like lsh_candidates does
-        docs = _docs(spark, sf_dir)
+        docs = _docs_wide(spark, sf_dir)
         sigs = dedup.minhash_signatures(docs, n=3, num_hashes=4)
         cands = dedup.lsh_candidate_pairs(sigs, band_size=2)
         sh = dedup.shingles(docs, n=3)
@@ -653,7 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         removal, one call (fusion_spark.pipeline.curate_corpus)."""
         from fusion_spark.pipeline import curate_corpus
 
-        return curate_corpus(_docs(spark, sf_dir), min_quality=0.05, jaccard_threshold=0.6)
+        return curate_corpus(_docs_wide(spark, sf_dir), min_quality=0.05,
+                             jaccard_threshold=0.6)
 
     def dedup_survivors(spark, sf_dir):
         # materialized deduplicated corpus (canonical row per content group)
