@@ -92,7 +92,17 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from fusion_spark.session import get_spark
 
     spark = get_spark(app_name="fusion-spark-bench", cores=cpus)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").cache()
+    # spread the single-file scan BEFORE caching (r6): a one-file parquet
+    # read is one partition, so the cached corpus — and every tokenize/
+    # shingle map stage over it — otherwise runs serially on one core (the
+    # scaling worker already does this; the headline queries measured the
+    # scan layout, not the engine). Row-local downstream → values identical.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(int(cpus) * 2 if str(cpus).isdigit() else 32, "doc_id")
+        .cache()
+    )
     n_docs = docs.count()
     timings: dict[str, float] = {}
     timings_median: dict[str, float] = {}
