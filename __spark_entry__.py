@@ -55,6 +55,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus spread for CPU-heavy map stages (tokenize/shingle/minhash):
+    a single-file parquet read is ONE input partition, so without this the
+    per-doc expression/UDF work runs serially on one core regardless of
+    core count (r4 found it for doc_sketches at 25 min; the r6 event-log
+    hunt found the same shape in the dedup family — measured wins there:
+    minhash 1.63→0.74 s, dup_clusters 4.87→3.37 s at sf0.1). NOT applied
+    to the index build / Arrow tokenize queries: measured A/B showed the
+    full-text exchange costs more than the parallelism buys on those
+    (whitespace tokenize is cheap per row; shingling+minhashing is not).
+    Row-local downstream → values identical at any partitioning; at real
+    scale inputs are many-file and this exchange is a proportional no-op."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -595,16 +612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("`ndcg@10`", 6).alias("ndcg_10"),
             F.round("`map@10`", 6).alias("map_10"),
             F.round("`r-precision`", 6).alias("r_precision"),
-        )
-
-    def _docs_wide(spark, sf_dir):
-        # shingle/minhash map work over a single-file parquet scan runs on
-        # ONE input partition — spread it first (same reason and width as
-        # doc_sketches; r6 event-log hunt found the dedup family's scan
-        # stages serial: ~25% off dup_clusters' wall). Row-local ops →
-        # values identical at any partitioning.
-        return _docs(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism * 2, "doc_id"
         )
 
     def exact_dedup(spark, sf_dir):
