@@ -129,3 +129,16 @@ def test_fusion_gate_queries_share_one_legs_subtree(spark):
     # five independent builds would rebuild the legs' shuffles per branch
     # with nothing reused across them
     assert n_reused >= 4, plan[:4000]
+
+
+def test_session_keeps_small_exchanges_parallel(spark):
+    """r6: AQE sizes post-shuffle reads by map-output bytes and cannot see
+    a downstream row multiplication — with the default 1 MB
+    minPartitionSize floor, the fused grid's 1.7 MB base exchange coalesced
+    to ONE task and the ×187 expansion ran serially (18.6 s, event-log-
+    verified). get_spark pins the floor at 64k; this guards the conf from
+    silently reverting."""
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ) == "64k"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
