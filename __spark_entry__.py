@@ -706,8 +706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dups(spark, sf_dir):
         # default = banded-LSH candidates + exact verify (no cartesian node);
-        # the oracle reproduces the identical deterministic banding in SQL
-        out = similarity.cosine_near_dups(_embs(spark, sf_dir), min_cosine=0.4, dim=64)
+        # the oracle reproduces the identical deterministic banding in SQL.
+        # Input spread like _docs_wide: the banding Generate otherwise runs
+        # on the single-file scan partition (r6 event-log hunt; ~1 s/run)
+        embs = _embs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2, "vec_id"
+        )
+        out = similarity.cosine_near_dups(embs, min_cosine=0.4, dim=64)
         return _rounded(out, "cosine", 5)
 
     def embedding_quantize(spark, sf_dir):
