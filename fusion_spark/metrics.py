@@ -56,8 +56,25 @@ def metrics_per_query(
     (metrics.py:140-151) but compute_all_metrics never emits it — pass e.g.
     precision_k=(5, 10) to enable the standalone metric. Denominator is the
     reference's len(results[:k]) = min(k, |results|); a query with zero
-    predictions scores 0 (the reference would divide by zero there)."""
+    predictions scores 0 (the reference would divide by zero there).
+
+    MAP@k plan note: P@i = (cumulative hits at rank i) / i needs a prefix
+    count, computed ONCE as a row_number window over the unfiltered hits —
+    valid for every k simultaneously because the rank≤k rows are a prefix of
+    the rank order, so filtering rows with rank>k cannot change row_number
+    for the rows that remain. Each k then folds into the single groupBy as a
+    conditional sum. One window + one aggregate for the whole metric grid
+    (the window's hash(qid) partitioning is reused by the groupBy), instead
+    of a window + groupBy + join per k."""
     gt_size, hits, n_res = _per_query(preds, qrels)
+
+    if map_k:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy("rank")
+        hits = hits.withColumn(
+            "_p_at_i", F.row_number().over(w).cast("double") / F.col("rank")
+        )
 
     aggs = []
     for k in precision_k:
@@ -89,6 +106,10 @@ def metrics_per_query(
             "r-precision"
         )
     )
+    for k in map_k:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= k, F.col("_p_at_i"))).alias(f"_sum_p@{k}")
+        )
 
     base = (
         gt_size.join(hits, "qid", "left")
@@ -106,21 +127,6 @@ def metrics_per_query(
                 ).otherwise(F.lit(0.0)),
             ).drop(f"_hits@{k}")
         base = base.drop("n_res")
-
-    # MAP@k needs the cumulative-hit prefix: P@i at each hit rank i.
-    for k in map_k:
-        hk = hits.filter(F.col("rank") <= k)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("qid").orderBy("rank")
-        ap = (
-            hk.withColumn("cum_hits", F.row_number().over(w))
-            .withColumn("p_at_i", F.col("cum_hits") / F.col("rank"))
-            .groupBy("qid")
-            .agg(F.sum("p_at_i").alias("_sum_p"))
-        )
-        base = base.join(ap, "qid", "left")
-        base = base.withColumnRenamed("_sum_p", f"_sum_p@{k}")
 
     # idcg from gt size; finalize ndcg and map.
     out = base.join(gt_size, "qid")
