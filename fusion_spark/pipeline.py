@@ -114,12 +114,20 @@ def select_by_token_budget(
     # Python str() alone diverges for bool (str(True)='True' vs Spark 'true')
     # and for float groups keyed by int budgets (5 vs Spark's '5.0'), which
     # would silently match nothing and drop every doc in the group. Bool,
-    # integral, date, and timestamp types are canonicalized (date/timestamp
-    # render exactly like Spark's string cast: ISO date, and timestamps with
-    # the fractional part trimmed of trailing zeros / omitted at whole
-    # seconds — assumes naive datetimes in the session timezone, UTC here);
-    # fractional/other group types raise (float equality is no basis for a
-    # budget key — cast the column first).
+    # integral, date, and timestamp types are canonicalized; fractional/other
+    # group types raise (float equality is no basis for a budget key — cast
+    # the column first).
+    #
+    # Timestamp keys are rendered BY SPARK ITSELF (one tiny indexed
+    # createDataFrame → CAST(AS STRING) → collect over just the budget
+    # keys): a driver-side strftime would have to assume the naive datetime
+    # is in the session timezone, but PySpark's collect/createDataFrame
+    # convert TimestampType through the DRIVER OS timezone — on a non-UTC
+    # host a strftime render never matches the JVM-side `_gks` cast and
+    # every doc in the group is silently dropped (r6 advice). Routing the
+    # key through createDataFrame applies the exact inverse of the
+    # conversion that produced a collected key, so the rendered string
+    # matches `_gks` regardless of host tz (and tz-aware keys work too).
     import datetime as _dt
 
     from pyspark.sql.types import (
@@ -134,6 +142,19 @@ def select_by_token_budget(
         TimestampType,
     )
 
+    _ts_render: dict = {}
+    if isinstance(grp_type, (TimestampType, TimestampNTZType)):
+        dt_keys = [k for k in budgets if isinstance(k, _dt.datetime)]
+        if dt_keys:
+            kdf = spark.createDataFrame(
+                list(enumerate(dt_keys)),
+                StructType(
+                    [StructField("i", LongType()), StructField("k", grp_type)]
+                ),
+            )
+            rows = kdf.select("i", F.col("k").cast("string").alias("s")).collect()
+            _ts_render = {dt_keys[r["i"]]: r["s"] for r in rows}
+
     def _canon(k):
         if k is None:
             return _NULL_KEY
@@ -143,12 +164,21 @@ def select_by_token_budget(
             return str(int(k))
         if isinstance(grp_type, (TimestampType, TimestampNTZType)):
             if isinstance(k, _dt.datetime):
-                s = k.strftime("%Y-%m-%d %H:%M:%S")
-                if k.microsecond:
-                    s += ("." + f"{k.microsecond:06d}").rstrip("0")
-                return s
+                return _ts_render[k]
             return str(k)
         if isinstance(grp_type, DateType):
+            # datetime IS a date (subclass) but renders with a time part that
+            # Spark's date cast never emits — silently matching nothing. A
+            # midnight datetime is unambiguous; anything else is lossy → raise.
+            if isinstance(k, _dt.datetime):
+                if k.tzinfo is not None or k.time() != _dt.time(0):
+                    raise ValueError(
+                        "token_budget_select: datetime budget key "
+                        f"{k!r} for a DateType group column — pass a "
+                        "datetime.date (a non-midnight time part cannot match "
+                        "any date value)"
+                    )
+                return k.date().isoformat()
             return k.isoformat() if isinstance(k, _dt.date) else str(k)
         if isinstance(grp_type, StringType):
             return str(k)

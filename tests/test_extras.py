@@ -890,6 +890,73 @@ def test_select_by_token_budget_date_and_timestamp_groups(spark):
     assert got == {1: 3, 2: 2}
 
 
+def test_select_by_token_budget_timestamp_non_utc_driver_tz(spark):
+    """r6 advice (medium): PySpark converts TimestampType through the DRIVER
+    OS timezone on collect/createDataFrame, while `_gks` is Spark's string
+    cast in the session timezone (UTC). A driver-side strftime of a naive
+    datetime key therefore matches nothing on any non-UTC host and silently
+    drops the whole group. Keys are now rendered by Spark itself (indexed
+    createDataFrame → CAST AS STRING round-trip), which applies the exact
+    inverse conversion — this test runs the whole op with the driver tz
+    forced to America/New_York (UTC-5) and asserts nothing is dropped."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from fusion_spark.pipeline import select_by_token_budget
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        t1 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        t2 = dt.datetime(2026, 6, 1, 12, 0, 0, 500000)  # crosses DST too
+        tocs = spark.createDataFrame(
+            [(1, t1, "a b c"), (2, t2, "d e"), (3, t1, "f g")],
+            "doc_id long, ts timestamp, text string",
+        )
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in select_by_token_budget(
+                tocs, {t1: 3, t2: 2}, group_col="ts", num_partitions=2
+            ).collect()
+        }
+        assert got == {1: 3, 2: 2}
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_select_by_token_budget_datetime_key_for_date_group(spark):
+    """r6 advice (low): datetime subclasses date, so a datetime key used to
+    slip through the DateType branch and render '2026-01-01T12:00:00' —
+    matching nothing. Midnight datetimes canonicalize to the date; anything
+    with a time part raises loudly."""
+    import datetime as dt
+
+    from fusion_spark.pipeline import select_by_token_budget
+
+    d1 = dt.date(2026, 1, 1)
+    docs = spark.createDataFrame(
+        [(1, d1, "a b c"), (2, d1, "d e")], "doc_id long, day date, text string"
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_token_budget(
+            docs, {dt.datetime(2026, 1, 1): 5}, group_col="day", num_partitions=2
+        ).collect()
+    }
+    assert got == {1: 3, 2: 5}
+
+    with pytest.raises(ValueError, match="DateType group column"):
+        select_by_token_budget(
+            docs, {dt.datetime(2026, 1, 1, 12, 30): 5}, group_col="day"
+        )
+
+
 def test_duplicate_clusters_checkpoint_cleanup(spark, tmp_path):
     """r4 advice: reliable CC checkpoints accumulated one label-frame copy
     per round (Spark only cleans them with cleanCheckpoints=true, off by
