@@ -475,6 +475,42 @@ def sessionize_stream_bucketed(
     return spark.table(name)
 
 
+def _route_pin_path(checkpoint_dir: str) -> str:
+    return checkpoint_dir.rstrip("/") + "/_fusion_route.json"
+
+
+def _read_route_pin(spark: SparkSession, checkpoint_dir: str) -> dict | None:
+    """Read the route marker written by a previous sessionize_stream_auto run
+    against this checkpoint dir (Hadoop FS — works for any URI scheme the
+    checkpoint itself works for). None when absent."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_route_pin_path(checkpoint_dir))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    import json
+
+    stream = fs.open(path)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)
+
+
+def _write_route_pin(spark: SparkSession, checkpoint_dir: str, pin: dict) -> None:
+    import json
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_route_pin_path(checkpoint_dir))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(pin).encode("utf-8")))
+    finally:
+        out.close()
+
+
 # Distinct-user count above which the bucketed sessionizer wins: below it,
 # per-user state rows are few enough that applyInPandasWithState's fixed
 # per-group cost is noise and per-user granularity gives cheaper state
@@ -514,9 +550,39 @@ def sessionize_stream_auto(
     `approx_count_distinct` scan over the landing dir's CURRENT contents —
     sound for the availableNow backfill drives this module targets, an
     undercount for a landing dir that keeps growing (pass `n_users` then).
+    Only a MISSING landing dir (AnalysisException on read) downgrades to the
+    cheapest route; any other read error (corrupt files, permissions)
+    propagates here rather than resurfacing obscured inside the stream.
+
+    The chosen route (and n_buckets) is PINNED in `checkpoint_dir`
+    (`_fusion_route.json`): the two variants keep incompatible state (the
+    stateful grouping key is user_id vs user_id % n_buckets), so a restart
+    against an existing checkpoint must replay the original route even if
+    the cardinality estimate — or an explicit `n_users` — has since crossed
+    `user_cutover`. To change route, use a fresh checkpoint dir.
+
     Both routes emit identical closed-session rows (stream==batch tests
     cover the dispatcher on each side of the cutover); `route_out` (a dict)
-    receives {route, n_users, n_buckets} for observability."""
+    receives {route, n_users, n_buckets, pinned} for observability."""
+    from pyspark.errors import AnalysisException
+
+    pin = _read_route_pin(spark, checkpoint_dir)
+    if pin is not None:
+        if route_out is not None:
+            route_out.update(
+                {"route": pin["route"], "n_users": pin.get("n_users"),
+                 "n_buckets": pin.get("n_buckets"), "pinned": True}
+            )
+        if pin["route"] == "bucketed":
+            return sessionize_stream_bucketed(
+                spark, landing_dir, checkpoint_dir, gap_us=gap_us,
+                lateness=lateness, n_buckets=int(pin["n_buckets"]), schema=schema,
+            )
+        return sessionize_stream(
+            spark, landing_dir, checkpoint_dir, gap_us=gap_us,
+            lateness=lateness, schema=schema,
+        )
+
     if n_users is None:
         try:
             n_users = (
@@ -525,20 +591,32 @@ def sessionize_stream_auto(
                 .agg(F.approx_count_distinct("user_id"))
                 .collect()[0][0]
             )
-        except Exception:  # empty/unreadable landing dir → cheapest route
+        except AnalysisException:  # landing dir not created yet → cheapest route
             n_users = 0
     if n_users > user_cutover:
         n_buckets = min(max(int(n_users) // 100, 64), 4096)
+        _write_route_pin(
+            spark, checkpoint_dir,
+            {"route": "bucketed", "n_users": int(n_users), "n_buckets": n_buckets},
+        )
         if route_out is not None:
             route_out.update(
-                {"route": "bucketed", "n_users": int(n_users), "n_buckets": n_buckets}
+                {"route": "bucketed", "n_users": int(n_users),
+                 "n_buckets": n_buckets, "pinned": False}
             )
         return sessionize_stream_bucketed(
             spark, landing_dir, checkpoint_dir, gap_us=gap_us,
             lateness=lateness, n_buckets=n_buckets, schema=schema,
         )
+    _write_route_pin(
+        spark, checkpoint_dir,
+        {"route": "per_user", "n_users": int(n_users), "n_buckets": None},
+    )
     if route_out is not None:
-        route_out.update({"route": "per_user", "n_users": int(n_users), "n_buckets": None})
+        route_out.update(
+            {"route": "per_user", "n_users": int(n_users),
+             "n_buckets": None, "pinned": False}
+        )
     return sessionize_stream(
         spark, landing_dir, checkpoint_dir, gap_us=gap_us,
         lateness=lateness, schema=schema,

@@ -438,10 +438,74 @@ def test_sessionize_stream_auto_routes_both_variants(spark, tmp_path):
 
     # forced-low cutover → bucketed route, n_buckets clamped to the 64 floor
     got, route = run(user_cutover=1)
-    assert route == {"route": "bucketed", "n_users": route["n_users"], "n_buckets": 64}
+    assert route == {
+        "route": "bucketed", "n_users": route["n_users"], "n_buckets": 64,
+        "pinned": False,
+    }
     assert got == want
 
     # n_buckets heuristic: users//100 between the clamps
     got, route = run(n_users=50_000)
     assert route["route"] == "bucketed" and route["n_buckets"] == 500
     assert got == want
+
+
+def test_sessionize_stream_auto_pins_route_on_checkpoint(spark, tmp_path):
+    """r6 advice: the two variants keep incompatible state (grouping key
+    user_id vs user_id % n_buckets), so a restart against an existing
+    checkpoint must replay the originally chosen route even when the
+    cardinality estimate — or an explicit n_users — has since crossed the
+    cutover. The route is pinned in the checkpoint dir on first run."""
+    import shutil
+
+    from fusion_spark.streaming import sessionize_stream_auto
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", landing / "a.parquet")
+    ckpt = tmp_path / "ckpt"
+
+    route: dict = {}
+    sessionize_stream_auto(spark, str(landing), str(ckpt), route_out=route)
+    assert route["route"] == "per_user" and route["pinned"] is False
+    assert (ckpt / "_fusion_route.json").exists()
+
+    # "restart": same pin, fresh stream state (the module's memory-sink
+    # drive cannot literally recover a used checkpoint — Spark forbids
+    # recovery into a memory sink — so carry the pin alone into a fresh
+    # checkpoint dir; a real sink would find both side by side). The
+    # explicit n_users that would flip the route must lose to the pin.
+    ckpt_restart = tmp_path / "ckpt_restart"
+    ckpt_restart.mkdir()
+    shutil.copy(ckpt / "_fusion_route.json", ckpt_restart / "_fusion_route.json")
+    route2: dict = {}
+    sessionize_stream_auto(
+        spark, str(landing), str(ckpt_restart), n_users=50_000, route_out=route2
+    )
+    assert route2["route"] == "per_user" and route2["pinned"] is True
+
+    # a fresh checkpoint is free to choose the other route
+    route3: dict = {}
+    sessionize_stream_auto(
+        spark, str(landing), str(tmp_path / "ckpt2"), n_users=50_000,
+        route_out=route3,
+    )
+    assert route3["route"] == "bucketed" and route3["pinned"] is False
+
+
+def test_sessionize_stream_auto_corrupt_landing_raises_in_router(spark, tmp_path):
+    """r6 advice: only a MISSING landing dir may downgrade the estimate to
+    n_users=0 — a corrupt file must fail loudly in the router (route_out
+    untouched), not surface later from inside the stream with the cause
+    obscured."""
+    from fusion_spark.streaming import sessionize_stream_auto
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "x.parquet").write_bytes(b"this is not a parquet file")
+    route: dict = {}
+    with pytest.raises(Exception):
+        sessionize_stream_auto(
+            spark, str(landing), str(tmp_path / "ckpt"), route_out=route
+        )
+    assert route == {}  # failed before any routing decision
