@@ -93,6 +93,8 @@ def decode_image_netpbm(data: bytes) -> dict:
         else:
             raise ValueError(f"bad netpbm header byte {c!r} at offset {pos}")
     width, height, maxval = fields
+    if width < 1 or height < 1:
+        raise ValueError(f"netpbm dimensions {width}x{height} out of range")
     if not (0 < maxval < 65536):
         raise ValueError(f"netpbm maxval {maxval} out of range")
     if not data[pos : pos + 1].isspace():
@@ -137,6 +139,8 @@ def decode_audio_wav(data: bytes) -> dict:
             )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAVE fmt chunk too short ({size} bytes, need 16)")
             tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1:
                 raise ValueError(f"only integer PCM supported (format tag {tag})")
@@ -147,6 +151,11 @@ def decode_audio_wav(data: bytes) -> dict:
     if fmt is None or pcm is None:
         raise ValueError("WAVE missing fmt/data chunk")
     bits = fmt["bits"]
+    if bits in (8, 16, 32) and len(pcm) % (bits // 8):
+        raise ValueError(
+            f"WAVE data chunk length {len(pcm)} is not a multiple of the "
+            f"{bits // 8}-byte sample width"
+        )
     if bits == 8:  # unsigned, midpoint 128
         samples = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:

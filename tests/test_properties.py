@@ -131,3 +131,74 @@ def test_wav_pcm16_roundtrip_property(samples, rate, n_ch):
     out = decode_audio_wav(wav)
     assert out["n_channels"] == n_ch and out["sample_rate"] == rate and out["bits"] == 16
     assert out["samples"].tolist() == [s / 32768.0 for s in samples]
+
+
+# r6 verdict #3: decoder fuzz hardening. Every mutation of a valid payload —
+# truncation at any offset, any single-byte flip — must yield either a
+# correct fixed-dim feature or a ValueError RAISED BY THE DECODER (message
+# names the format/defect); never a struct.error, IndexError, or a numpy
+# error (including numpy-raised ValueErrors like "buffer size must be a
+# multiple of element size" or empty-array reductions), and never a silent
+# short decode with non-finite stats.
+_DECODE_ERR_WORDS = ("netpbm", "RIFF", "WAVE", "PCM", "media payload")
+
+
+@st.composite
+def _valid_media_payload(draw):
+    import struct
+
+    if draw(st.booleans()):  # netpbm P5/P6, 8- or 16-bit
+        magic = draw(st.sampled_from([b"P5", b"P6"]))
+        w, h = draw(st.integers(1, 4)), draw(st.integers(1, 3))
+        maxval = draw(st.sampled_from([1, 255, 256, 65535]))
+        ch = 1 if magic == b"P5" else 3
+        n = w * h * ch * (2 if maxval > 255 else 1)
+        raster = draw(st.binary(min_size=n, max_size=n))
+        return magic + f"\n{w} {h}\n{maxval}\n".encode() + raster
+    bits = draw(st.sampled_from([8, 16, 32]))
+    n_ch, rate = draw(st.integers(1, 2)), 8000
+    n = draw(st.integers(0, 16))
+    pcm = draw(st.binary(min_size=n * (bits // 8), max_size=n * (bits // 8)))
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", 1, n_ch, rate, rate * (bits // 8) * n_ch,
+            (bits // 8) * n_ch, bits,
+        )
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+@given(payload=_valid_media_payload(), data=st.data())
+@settings(max_examples=300, deadline=None)
+def test_decoder_fuzz_truncate_and_flip_never_foreign_errors(payload, data):
+    import math
+
+    from fusion_spark.extras.multimodal import _real_feature
+
+    if data.draw(st.booleans()):  # truncate at every possible offset
+        mutated = payload[: data.draw(st.integers(0, len(payload) - 1))]
+    else:  # flip one byte anywhere (header or raster/pcm)
+        off = data.draw(st.integers(0, len(payload) - 1))
+        mask = data.draw(st.integers(1, 255))
+        mutated = payload[:off] + bytes([payload[off] ^ mask]) + payload[off + 1 :]
+    try:
+        vec = _real_feature(mutated, 8)
+    except ValueError as e:
+        assert any(w in str(e) for w in _DECODE_ERR_WORDS), (
+            f"foreign ValueError escaped the decoder: {e!r}"
+        )
+    else:
+        assert len(vec) == 8 and all(math.isfinite(v) for v in vec)
+
+
+@given(payload=_valid_media_payload())
+@settings(max_examples=100, deadline=None)
+def test_decoder_accepts_every_generated_valid_payload(payload):
+    import math
+
+    from fusion_spark.extras.multimodal import _real_feature
+
+    vec = _real_feature(payload, 8)
+    assert len(vec) == 8 and all(math.isfinite(v) for v in vec)
