@@ -24,6 +24,32 @@ from pyspark.sql import functions as F
 from fusion_spark.extras import dedup, textstats
 
 
+def curation_shuffle_partitions(
+    n_docs: int, cores: int = 32, rows_per_task: int = 23_000
+) -> int:
+    """Shuffle-partition count for the curation pipeline, encoding the r6
+    bracketing sweep (BENCH.md "partition-knob remedy") so the operator does
+    not need to know it: the 12M-doc optimum sat at 512 partitions ≈ 23k
+    docs/task with a 24g heap — enough tasks that per-task agg/join state
+    (shingle maps, minhash groupings, CC label frames) stays under the
+    executor memory fractions instead of spilling, not so many that the
+    2×N-task iterative CC rounds pay pure per-task overhead (the measured
+    U-curve: 256 → 512 → 1024 gave 1,872.9 → 1,455.0 → 1,551.6 s CC wall).
+    Rounded to the nearest power of two; floored at cores*2 so small inputs
+    keep full parallelism; capped at 65,536 as a sanity bound.
+
+    Per-stage nuance (measured, same sweep): tiny driver-bounded stages
+    (budget selection, audit count passes) prefer FEWER partitions — AQE's
+    runtime coalescing (with the 64k minPartitionSize floor from get_spark)
+    handles those, and select_by_token_budget keeps its own num_partitions
+    knob; this heuristic sizes the corpus-scale shuffles."""
+    import math
+
+    raw = max(n_docs / rows_per_task, 1)
+    p = 2 ** round(math.log2(raw))
+    return min(max(p, cores * 2), 65_536)
+
+
 def select_by_token_budget(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -1070,3 +1070,20 @@ def test_ivf_lloyd_step_quantized_hand_case(spark):
     assert out[(0, 1)] == pytest.approx((0 + 0 + 6) / 3)
     assert out[(1, 0)] == pytest.approx((0 + 0 + 6) / 3)
     assert out[(1, 1)] == pytest.approx((127 + 127 + 127) / 3)
+
+
+def test_curation_shuffle_partitions_heuristic():
+    """r6 verdict #4: the partition sweep's findings are encoded, not
+    tribal knowledge — auto reproduces the swept 12M optimum (512) and the
+    1.2M config (cores*2 floor), grows as a power of two, and is clamped."""
+    from fusion_spark.pipeline import curation_shuffle_partitions as csp
+
+    assert csp(12_000_000, cores=32) == 512  # the swept optimum, exactly
+    assert csp(1_200_000, cores=32) == 64  # floor: cores*2 (r4/r5 config)
+    assert csp(120_000_000, cores=32) == 4096  # 10× up: one knob, linear
+    assert csp(100, cores=8) == 16
+    assert csp(10**10, cores=32) == 65_536  # sanity cap
+    # monotone non-decreasing in input size
+    sizes = [10**k for k in range(3, 10)]
+    vals = [csp(s, cores=32) for s in sizes]
+    assert vals == sorted(vals)

@@ -123,19 +123,29 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_200_000)
     ap.add_argument("--cores", type=int, default=32)
-    ap.add_argument("--shuffle-partitions", type=int, default=None,
-                    help="override shuffle partitions (default cores*2); at "
-                         "10M+ docs use ~256 so per-task agg/join state fits "
-                         "the executor share of the heap")
+    ap.add_argument("--shuffle-partitions", default="auto",
+                    help="shuffle partitions: an integer, or 'auto' (default) "
+                         "to derive from --n-docs via "
+                         "pipeline.curation_shuffle_partitions — the r6 sweep "
+                         "encoded (~23k docs/task, pow2, floor cores*2): "
+                         "1.2M→64, 12M→512")
     args = ap.parse_args()
 
     from fusion_spark.corpus import chunk_documents
     from fusion_spark.extras import dedup
-    from fusion_spark.pipeline import curate_corpus, select_by_token_budget
+    from fusion_spark.pipeline import (
+        curate_corpus,
+        curation_shuffle_partitions,
+        select_by_token_budget,
+    )
     from fusion_spark.session import get_spark
 
+    if args.shuffle_partitions == "auto":
+        shuffle_partitions = curation_shuffle_partitions(args.n_docs, args.cores)
+    else:
+        shuffle_partitions = int(args.shuffle_partitions)
     spark = get_spark(app_name="curation-bench", cores=args.cores,
-                      shuffle_partitions=args.shuffle_partitions)
+                      shuffle_partitions=shuffle_partitions)
     walls, counts = {}, {}
 
     t0 = time.time()
@@ -191,6 +201,7 @@ def main() -> int:
     walls["total"] = round(sum(walls.values()), 2)
     peak = jvm_peak_rss_mb()
     print(json.dumps({"walls_sec": walls, **counts, "cores": args.cores,
+                      "shuffle_partitions": shuffle_partitions,
                       "jvm_peak_rss_mb": peak}))
     spark.stop()
     return 0
