@@ -58,6 +58,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Opt-in event logging (tools/audit_event_log.py consumes these): the
+    # executed plan — AQE-coalesced reads, real task counts — only exists in
+    # the event log; .explain() shows the pre-runtime plan (docs/PLANS.md).
+    elog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if elog_dir:
+        os.makedirs(elog_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", elog_dir)
+            # uncompressed: the audit tool parses the JSON lines directly
+            # (no zstd codec in this environment)
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
