@@ -65,11 +65,15 @@ BLOCK_SCHEMA = StructType(
 
 # --------------------------- varint codec (numpy) ---------------------------
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint for a uint64 array — vectorized byte-plane construction."""
+def _varint_encode_stream(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varint for a uint64 array — vectorized byte-plane construction.
+
+    Returns (concatenated bytes, per-value byte lengths) so a caller packing
+    many blocks can encode them all as ONE stream and slice each block's
+    blob out by byte offset."""
     v = values.astype(np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # per-plane emission: loop runs ⌈bits/7⌉ times max, vectorized inside
     remaining = v.copy()
     active = np.ones(v.size, dtype=bool)
@@ -88,8 +92,12 @@ def varint_encode(values: np.ndarray) -> bytes:
     for i, (byte, act) in enumerate(planes):
         buf[act, i] = byte[act]
         mask[act, i] = True
-    out = buf[mask].tobytes()
-    return out
+    return buf[mask].tobytes(), mask.sum(axis=1).astype(np.int64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint for a uint64 array — vectorized byte-plane construction."""
+    return _varint_encode_stream(values)[0]
 
 
 def varint_decode(blob: bytes, count: int) -> np.ndarray:
@@ -119,7 +127,22 @@ def varint_decode(blob: bytes, count: int) -> np.ndarray:
 # --------------------------- packing ---------------------------------------
 
 def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
-    """Postings → packed blocks via groupBy(term, segment).applyInPandas.
+    """Postings → packed blocks: repartition co-locates every (term, segment)
+    group, then ONE vectorized pass per partition builds all of its blocks.
+
+    Why not groupBy.applyInPandas: that API pays a Python call + a pandas
+    frame construction per GROUP. Block count is vocab × segments-touched,
+    and under a Zipf vocabulary most terms are rare, so blocks are tiny and
+    numerous — at ~100M postings over a 200k-term vocabulary the per-group
+    shape degenerates to ~25M four-posting groups and the pack stage becomes
+    pure invocation overhead (r7 measurement: no task finished in 15 min;
+    BENCH.md "physical layer" section). The partition-level pass does the
+    same work as data-parallel numpy: lexsort once, group boundaries from
+    key changes, per-block stats via ufunc.reduceat, and all three blobs
+    encoded as ONE varint stream per column then sliced per block by byte
+    offset — per-block cost collapses to a bytes-slice. Same shuffle as the
+    groupBy (hash on term+segment), so skew behavior is unchanged: the
+    segment key IS the salt for hot terms.
 
     Segment uses INTEGER division (`div`): float division truncates toward
     zero for negatives and loses precision near 2^53, which would make
@@ -129,32 +152,70 @@ def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
         "segment", F.expr(f"doc_id div {int(segment_size)}")
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        seg = int(pdf["segment"].iloc[0])
+    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        n = len(pdf)
+        if n == 0:
+            return
+        # factorize → int codes so the partition sort is a pure-numeric
+        # lexsort (string compares would dominate at millions of rows);
+        # codes only need to make equal terms adjacent, not globally ordered
+        codes, _uniq = pd.factorize(pdf["term"], sort=False)
+        segs = pdf["segment"].to_numpy(dtype=np.int64)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        if doc_ids[0] < 0:
-            raise ValueError(f"pack_index requires doc_id >= 0 (got {doc_ids[0]})")
-        deltas = np.empty_like(doc_ids)
-        deltas[0] = doc_ids[0] - seg * segment_size
-        deltas[1:] = np.diff(doc_ids)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
+        order = np.lexsort((doc_ids, segs, codes))
+        codes = codes[order]
+        segs = segs[order]
+        doc_ids = doc_ids[order]
+        if doc_ids[0] < 0 or doc_ids.min() < 0:
+            raise ValueError(
+                f"pack_index requires doc_id >= 0 (got {doc_ids.min()})"
+            )
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
+        terms = pdf["term"].to_numpy()[order]
+
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (codes[1:] != codes[:-1]) | (segs[1:] != segs[:-1])
+        starts = np.flatnonzero(new_group)
+        counts = np.diff(np.append(starts, n))
+        # doc-id gaps within a block; each block's first delta is relative
+        # to its segment base (identical to the previous per-group encoding)
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+        deltas[starts] = doc_ids[starts] - segs[starts] * segment_size
+        max_tf = np.maximum.reduceat(tfs, starts)
+        min_dl = np.minimum.reduceat(dls, starts)
+
+        blob_cols = []
+        for arr in (deltas, tfs, dls):
+            stream, lens = _varint_encode_stream(arr.astype(np.uint64))
+            blk_sizes = np.add.reduceat(lens, starts)
+            blk_ends = np.cumsum(blk_sizes)
+            blk_starts = blk_ends - blk_sizes
+            blob_cols.append(
+                [stream[a:b] for a, b in zip(blk_starts, blk_ends)]
+            )
+        yield pd.DataFrame(
             {
-                "term": [term],
-                "segment": [seg],
-                "n_docs": [len(doc_ids)],
-                "max_tf": [int(tfs.max())],
-                "min_dl": [int(dls.min())],
-                "doc_blob": [varint_encode(deltas.astype(np.uint64))],
-                "tf_blob": [varint_encode(tfs.astype(np.uint64))],
-                "dl_blob": [varint_encode(dls.astype(np.uint64))],
+                "term": terms[starts],
+                "segment": segs[starts],
+                "n_docs": counts.astype(np.int32),
+                "max_tf": max_tf.astype(np.int32),
+                "min_dl": min_dl.astype(np.int32),
+                "doc_blob": blob_cols[0],
+                "tf_blob": blob_cols[1],
+                "dl_blob": blob_cols[2],
             }
         )
 
-    return p.groupBy("term", "segment").applyInPandas(pack, schema=BLOCK_SCHEMA)
+    return p.repartition("term", "segment").mapInPandas(
+        pack_partition, schema=BLOCK_SCHEMA
+    )
 
 
 @dataclass
