@@ -41,6 +41,10 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     dl = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+    # block sizing is the physical-layer tuning knob: tiny blocks (huge
+    # vocab relative to docs/segment) pay per-block metadata overhead in
+    # both compression ratio and block count
+    segment_size = int(sys.argv[4]) if len(sys.argv) > 4 else 1 << 14
 
     spark = get_spark(app_name="bench-wand", cores=8)
     # Zipf-ish term ids: rank r with weight ~ 1/(r+1) approximated by
@@ -65,7 +69,7 @@ def main():
 
     idx = build_index(docs, doc_id_col="doc_id", text_col="text")
     idx.postings.write.mode("overwrite").parquet(f"{d}/postings")
-    packed = PackedIndex.from_index(idx, segment_size=1 << 14)
+    packed = PackedIndex.from_index(idx, segment_size=segment_size)
     packed.write(f"{d}/packed")
 
     raw_bytes = du(f"{d}/postings")
@@ -109,7 +113,8 @@ def main():
     c = run("wand_packed", lambda: wand_search(disk_packed, queries, k=10, k1=2.5, b=0.2))
 
     print(json.dumps({
-        "n_docs": n_docs, "vocab": vocab, "dl": dl, "n_postings": n_post,
+        "n_docs": n_docs, "vocab": vocab, "dl": dl,
+        "segment_size": segment_size, "n_postings": n_post,
         "postings_parquet_bytes": raw_bytes, "packed_blocks_bytes": packed_bytes,
         "compression_ratio": round(raw_bytes / packed_bytes, 2),
         "query_selectivity": round(sel, 5),
