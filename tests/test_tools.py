@@ -1,6 +1,7 @@
-"""tools/ units that don't need a SparkSession: the event-log audit's
-parser + rules (r6 verdict #5 — the two PLANS.md plan-hygiene lessons as a
-mechanical check)."""
+"""tools/ units: the event-log audit's parser + rules (r6 verdict #5 — the
+two PLANS.md plan-hygiene lessons as a mechanical check; no SparkSession)
+and bench_curation's deterministic audit-sampling predicate (r7; uses the
+shared session fixture)."""
 
 import importlib.util
 import json
@@ -116,3 +117,35 @@ def test_audit_skips_retries_and_garbage_lines(tmp_path):
     stages = audit_event_log.parse_event_log(str(p))
     assert stages[9]["run_ms"] == 100
     assert audit_event_log.audit_stages(stages) == []
+
+
+# --------- bench_curation's sampled hot-bucket audit (r7) ----------------
+
+_spec_bc = importlib.util.spec_from_file_location(
+    "bench_curation",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "bench_curation.py"),
+)
+bench_curation = importlib.util.module_from_spec(_spec_bc)
+_spec_bc.loader.exec_module(bench_curation)
+
+
+def test_audit_sample_expr_deterministic_and_unbiased(spark):
+    """The audit's doc_id sample is deterministic (same docs every
+    evaluation) and hits the requested rate closely enough that
+    sampled/frac estimates of planted-family bucket sizes are honest
+    (binomial sd ~ sqrt(n*f) — well under the few-percent level here)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "doc_id")
+    pred = bench_curation.audit_sample_expr(0.1)
+    n1 = df.filter(F.expr(pred)).count()
+    n2 = df.filter(F.expr(pred)).count()
+    assert n1 == n2
+    assert 0.09 * 50_000 < n1 < 0.11 * 50_000
+    # disjoint rates nest: every doc sampled at 0.05 is sampled at 0.1
+    small = set(
+        r["doc_id"]
+        for r in df.filter(F.expr(bench_curation.audit_sample_expr(0.05))).collect()
+    )
+    big = set(r["doc_id"] for r in df.filter(F.expr(pred)).collect())
+    assert small <= big

@@ -98,6 +98,18 @@ def build_corpus(spark, n_docs: int):
     )
 
 
+def audit_sample_expr(frac: float) -> str:
+    """Deterministic doc_id sample predicate for the hot-bucket audit: keep
+    a doc iff md5('audit-sample:' + doc_id) mod 1e6 < frac*1e6. Salted so
+    the sample is independent of every other md5-derived quantity in the
+    pipeline (minhash seeds, split buckets); same doc set on every run and
+    at every parallelism."""
+    return (
+        "mod(conv(substr(md5(concat('audit-sample:', cast(doc_id as "
+        f"string))), 1, 8), 16, 10), 1000000) < {int(frac * 1_000_000)}"
+    )
+
+
 def jvm_peak_rss_mb() -> int | None:
     """Peak RSS (VmHWM) of the py4j JVM child — the process that actually
     holds executor memory in local mode; the Python driver's own RSS is
@@ -129,7 +141,26 @@ def main() -> int:
                          "pipeline.curation_shuffle_partitions — the r6 sweep "
                          "encoded (~23k docs/task, pow2, floor cores*2): "
                          "1.2M→64, 12M→512")
+    ap.add_argument("--audit-sample", type=float, default=1.0,
+                    help="fraction of post-exact-dedup survivors the "
+                         "hot-bucket audit recomputes minhash/banding over "
+                         "(deterministic md5(doc_id) sample; default 1.0 = "
+                         "exact). The audit is diagnostic-only but its "
+                         "from-scratch minhash recompute is the one "
+                         "super-linear stage left at 10x input (BENCH.md r6);"
+                         " sampling bounds it. Bucket sizes are reported as "
+                         "n_members = sampled/fraction estimates; the flag "
+                         "threshold scales to max_bucket_size*fraction.")
     args = ap.parse_args()
+    if not 0.0 < args.audit_sample <= 1.0:
+        ap.error("--audit-sample must be in (0, 1]")
+    # detection needs the scaled threshold to stay statistically meaningful:
+    # a bucket at the 10k flag line yields ~10_000*f sampled members
+    # (binomial, sd ~sqrt(10_000*f)); require >= 100 expected so flagging
+    # is ~10 sigma from noise and estimates are within a few percent
+    if args.audit_sample < 1.0 and 10_000 * args.audit_sample < 100:
+        ap.error("--audit-sample too small: fraction*10_000 must be >= 100 "
+                 "for a reliable flag threshold")
 
     from fusion_spark.corpus import chunk_documents
     from fusion_spark.extras import dedup
@@ -170,16 +201,27 @@ def main() -> int:
     q = quality_score(docs).select("doc_id", F.round("quality", 6).alias("quality"))
     stage1 = docs.join(q.filter(F.col("quality") >= 0.05), "doc_id")
     stage2 = dedup.drop_exact_duplicates(stage1)
+    frac = args.audit_sample
+    if frac < 1.0:
+        # deterministic member sample AFTER exact dedup (sampling before it
+        # would shift survivor composition); bucket membership is then
+        # Binomial(m, frac) per true-size-m bucket, so sizes scale back as
+        # sampled/frac and the flag threshold scales down to 10_000*frac
+        stage2 = stage2.filter(F.expr(audit_sample_expr(frac)))
     sigs = dedup.minhash_signatures(stage2, n=3, num_hashes=4)
     banded = (
         sigs.withColumn("band", (F.col("seed") / 2).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
     )
-    audit = dedup.oversized_buckets(banded, ["band", "band_key"], max_bucket_size=10_000)
+    audit = dedup.oversized_buckets(
+        banded, ["band", "band_key"], max_bucket_size=int(10_000 * frac)
+    )
     counts["oversized_buckets"] = [
-        {"band": r["band"], "n_members": r["n_members"]} for r in audit.collect()
+        {"band": r["band"], "n_members": int(round(r["n_members"] / frac))}
+        for r in audit.collect()
     ]
+    counts["audit_sample"] = frac
     walls["audit"] = round(time.time() - t0, 2)
 
     t0 = time.time()
