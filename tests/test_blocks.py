@@ -308,3 +308,29 @@ def test_search_auto_clamps_bound_to_wand_capacity(spark, docs_df, queries_df, m
     search_auto(idx, object(), queries_df.limit(4), k=1, wand_threshold=1.1,
                 wand_max_query_work=2_000_000).collect()
     assert calls == [1]
+
+
+def test_pack_group_spanning_arrow_batches(spark):
+    """The partition-vectorized pack (r7) receives a partition as an
+    ITERATOR of Arrow batches (default maxRecordsPerBatch 10k); a single
+    (term, segment) block bigger than one batch must still pack into ONE
+    contiguous delta-encoded block. 25k docs sharing one term → one group
+    spanning >=3 batches."""
+    from pyspark.sql import functions as F
+
+    n = 25_000
+    docs = spark.range(0, n).select(
+        F.col("id").alias("doc_id"), F.lit("common").alias("text")
+    )
+    idx = build_index(docs, doc_id_col="doc_id", text_col="text")
+    packed = PackedIndex.from_index(idx, segment_size=1 << 20)
+    rows = packed.blocks.collect()
+    assert len(rows) == 1
+    blk = rows[0]
+    assert blk["term"] == "common" and blk["n_docs"] == n
+    deltas = varint_decode(bytes(blk["doc_blob"]), n).astype(np.int64)
+    ids = np.cumsum(deltas) + blk["segment"] * (1 << 20)
+    assert ids[0] == 0 and ids[-1] == n - 1
+    assert np.array_equal(ids, np.arange(n))
+    tfs = varint_decode(bytes(blk["tf_blob"]), n)
+    assert tfs.min() == tfs.max() == 1
