@@ -480,11 +480,17 @@ def _route_pin_path(checkpoint_dir: str) -> str:
 
 
 def _read_route_pin(spark: SparkSession, checkpoint_dir: str) -> dict | None:
-    """Read the route marker written by a previous sessionize_stream_auto run
-    against this checkpoint dir (Hadoop FS — works for any URI scheme the
-    checkpoint itself works for). None when absent."""
+    """Read + validate the route marker written by a previous
+    sessionize_stream_auto run against this checkpoint dir (Hadoop FS —
+    works for any URI scheme the checkpoint itself works for). None when
+    absent. Corrupt or structurally-invalid pins raise a ValueError naming
+    the file and the remedy rather than an opaque JSONDecodeError/TypeError
+    deep inside route dispatch. Bytes are read straight off the
+    FSDataInputStream (InputStream.readAllBytes, Java ≥9) — no dependency
+    on commons-io, which shaded/alternate Hadoop classpaths may not ship."""
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(_route_pin_path(checkpoint_dir))
+    pin_file = _route_pin_path(checkpoint_dir)
+    path = jvm.org.apache.hadoop.fs.Path(pin_file)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return None
@@ -492,23 +498,69 @@ def _read_route_pin(spark: SparkSession, checkpoint_dir: str) -> dict | None:
 
     stream = fs.open(path)
     try:
-        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        data = bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
-    return json.loads(data)
+    try:
+        pin = json.loads(data)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"route pin {pin_file} is unreadable ({e}). It pins the stateful "
+            "grouping key for this checkpoint; if the checkpoint has no "
+            "committed batches yet, delete the pin (or use a fresh "
+            "checkpoint dir) and rerun."
+        ) from e
+    route = pin.get("route") if isinstance(pin, dict) else None
+    if route not in ("per_user", "bucketed"):
+        raise ValueError(
+            f"route pin {pin_file} has invalid route={route!r} "
+            "(expected 'per_user' or 'bucketed'); delete the pin or use a "
+            "fresh checkpoint dir."
+        )
+    if route == "bucketed" and not isinstance(pin.get("n_buckets"), int):
+        raise ValueError(
+            f"route pin {pin_file} pins the bucketed route but carries no "
+            f"integer n_buckets (got {pin.get('n_buckets')!r}); the bucketed "
+            "state key is user_id % n_buckets, so the original value is "
+            "required. Delete the pin or use a fresh checkpoint dir."
+        )
+    return pin
 
 
 def _write_route_pin(spark: SparkSession, checkpoint_dir: str, pin: dict) -> None:
+    """Atomically (write-temp-then-rename) persist the route pin: a crash or
+    concurrent reader mid-write must never observe a truncated JSON file."""
     import json
 
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(_route_pin_path(checkpoint_dir))
+    tmp = jvm.org.apache.hadoop.fs.Path(_route_pin_path(checkpoint_dir) + ".tmp")
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(path, True)
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(pin).encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(path):
+        fs.delete(path, False)
+    fs.rename(tmp, path)
+
+
+def _checkpoint_has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True iff the streaming checkpoint has at least one COMMITTED batch
+    (a file under <checkpoint>/commits). A pin written by a run that died
+    before its first commit pins a route chosen from possibly-bad data while
+    the state store is still empty — such a pin is safe (and right) to
+    re-decide, so the pin is only honored once a batch has committed."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir.rstrip("/") + "/commits")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    for status in fs.listStatus(path):
+        if not status.getPath().getName().startswith("."):
+            return True
+    return False
 
 
 # Distinct-user count above which the bucketed sessionizer wins: below it,
@@ -559,7 +611,10 @@ def sessionize_stream_auto(
     stateful grouping key is user_id vs user_id % n_buckets), so a restart
     against an existing checkpoint must replay the original route even if
     the cardinality estimate — or an explicit `n_users` — has since crossed
-    `user_cutover`. To change route, use a fresh checkpoint dir.
+    `user_cutover`. To change route, use a fresh checkpoint dir. A pin is
+    only honored once the checkpoint has a COMMITTED batch: a pin left by a
+    run that died before its first commit (state store still empty) is
+    re-decided from current data and overwritten.
 
     Both routes emit identical closed-session rows (stream==batch tests
     cover the dispatcher on each side of the cutover); `route_out` (a dict)
@@ -567,6 +622,13 @@ def sessionize_stream_auto(
     from pyspark.errors import AnalysisException
 
     pin = _read_route_pin(spark, checkpoint_dir)
+    if pin is not None and not _checkpoint_has_commits(spark, checkpoint_dir):
+        # The pin was written by a run that never committed a batch (e.g. it
+        # picked per_user off an empty/missing landing dir and then failed to
+        # start). The state store is still empty, so no state/key
+        # incompatibility exists yet — re-decide from current data and let
+        # the decision below overwrite the stale pin.
+        pin = None
     if pin is not None:
         if route_out is not None:
             route_out.update(

@@ -469,28 +469,77 @@ def test_sessionize_stream_auto_pins_route_on_checkpoint(spark, tmp_path):
     sessionize_stream_auto(spark, str(landing), str(ckpt), route_out=route)
     assert route["route"] == "per_user" and route["pinned"] is False
     assert (ckpt / "_fusion_route.json").exists()
+    assert any((ckpt / "commits").iterdir())  # first run committed batches
 
-    # "restart": same pin, fresh stream state (the module's memory-sink
-    # drive cannot literally recover a used checkpoint — Spark forbids
-    # recovery into a memory sink — so carry the pin alone into a fresh
-    # checkpoint dir; a real sink would find both side by side). The
-    # explicit n_users that would flip the route must lose to the pin.
-    ckpt_restart = tmp_path / "ckpt_restart"
-    ckpt_restart.mkdir()
-    shutil.copy(ckpt / "_fusion_route.json", ckpt_restart / "_fusion_route.json")
+    # "restart" against the REAL checkpoint (pin + committed batches): the
+    # explicit n_users that would flip the route must lose to the pin. The
+    # routing decision happens before the stream starts; the memory-sink
+    # drive itself cannot recover a used checkpoint (Spark forbids it), so
+    # the start fails AFTER routing — which is exactly what lets us observe
+    # the honored pin in route_out.
     route2: dict = {}
-    sessionize_stream_auto(
-        spark, str(landing), str(ckpt_restart), n_users=50_000, route_out=route2
-    )
+    with pytest.raises(Exception):
+        sessionize_stream_auto(
+            spark, str(landing), str(ckpt), n_users=50_000, route_out=route2
+        )
     assert route2["route"] == "per_user" and route2["pinned"] is True
 
-    # a fresh checkpoint is free to choose the other route
+    # r8 (r7 advice): a pin WITHOUT committed batches — left by a run that
+    # died before its first commit — is stale: the state store is empty, so
+    # the router re-decides from current data and overwrites the pin.
+    ckpt_stale = tmp_path / "ckpt_stale"
+    ckpt_stale.mkdir()
+    shutil.copy(ckpt / "_fusion_route.json", ckpt_stale / "_fusion_route.json")
     route3: dict = {}
     sessionize_stream_auto(
-        spark, str(landing), str(tmp_path / "ckpt2"), n_users=50_000,
-        route_out=route3,
+        spark, str(landing), str(ckpt_stale), n_users=50_000, route_out=route3
     )
     assert route3["route"] == "bucketed" and route3["pinned"] is False
+    import json as _json
+
+    refreshed = _json.loads((ckpt_stale / "_fusion_route.json").read_text())
+    assert refreshed["route"] == "bucketed"
+
+    # a fresh checkpoint is free to choose the other route
+    route4: dict = {}
+    sessionize_stream_auto(
+        spark, str(landing), str(tmp_path / "ckpt2"), n_users=50_000,
+        route_out=route4,
+    )
+    assert route4["route"] == "bucketed" and route4["pinned"] is False
+
+
+def test_route_pin_corrupt_or_invalid_raises_clearly(spark, tmp_path):
+    """r7 advice: a truncated pin (crash mid-write of the OLD non-atomic
+    writer, or a hand edit) must fail with an error naming the pin file and
+    the remedy — not an opaque JSONDecodeError/TypeError in route dispatch.
+    A committed batch marker makes the pin eligible so validation is what
+    gets exercised."""
+    from fusion_spark.streaming import _read_route_pin
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1")
+
+    (ckpt / "_fusion_route.json").write_text('{"route": "bucke')  # truncated
+    with pytest.raises(ValueError, match="_fusion_route.json"):
+        _read_route_pin(spark, str(ckpt))
+
+    (ckpt / "_fusion_route.json").write_text('{"route": "warp"}')
+    with pytest.raises(ValueError, match="invalid route"):
+        _read_route_pin(spark, str(ckpt))
+
+    # bucketed pin missing n_buckets: the original grouping key is
+    # unrecoverable — clear error, not int(None)
+    (ckpt / "_fusion_route.json").write_text('{"route": "bucketed"}')
+    with pytest.raises(ValueError, match="n_buckets"):
+        _read_route_pin(spark, str(ckpt))
+
+    # valid pin round-trips
+    (ckpt / "_fusion_route.json").write_text(
+        '{"route": "bucketed", "n_buckets": 64}'
+    )
+    assert _read_route_pin(spark, str(ckpt))["n_buckets"] == 64
 
 
 def test_sessionize_stream_auto_corrupt_landing_raises_in_router(spark, tmp_path):

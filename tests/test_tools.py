@@ -119,6 +119,133 @@ def test_audit_skips_retries_and_garbage_lines(tmp_path):
     assert audit_event_log.audit_stages(stages) == []
 
 
+def test_audit_flags_task_skew(tmp_path):
+    """Rule D: one 5 s straggler among 19 × 200 ms tasks (p99/median = 25x)
+    is a hot key; uniform stages and low-median stages stay clean."""
+    events = (
+        [_task_end(11, run_ms=200, input_rec=1000) for _ in range(19)]
+        + [_task_end(11, run_ms=5_000, input_rec=1000)]
+        + [_stage_completed(11, 20, "skewed join")]
+        # uniform multi-task stage — clean
+        + [_task_end(12, run_ms=300) for _ in range(20)]
+        + [_stage_completed(12, 20, "uniform map")]
+        # skewed but median below the floor (tiny tasks) — clean
+        + [_task_end(13, run_ms=10) for _ in range(19)]
+        + [_task_end(13, run_ms=5_000)]
+        + [_stage_completed(13, 20, "tiny tasks one warmup straggler")]
+    )
+    stages = audit_event_log.parse_event_log(_write_log(tmp_path, events))
+    findings = audit_event_log.audit_stages(stages)
+    assert [f["rule"] for f in findings] == ["task-skew"]
+    assert findings[0]["stage_id"] == 11
+    assert findings[0]["p99_ms"] == 5_000
+
+
+def _plan_smj(left_accum, right_accum, node="SortMergeJoin"):
+    def side(aid):
+        return {
+            "nodeName": "Sort",
+            "simpleString": "Sort",
+            "children": [
+                {
+                    "nodeName": "Exchange",
+                    "simpleString": "Exchange hashpartitioning",
+                    "children": [],
+                    "metrics": [
+                        {"name": "data size", "accumulatorId": aid,
+                         "metricType": "size"}
+                    ],
+                }
+            ],
+            "metrics": [],
+        }
+
+    return {
+        "nodeName": "AdaptiveSparkPlan",
+        "simpleString": "AdaptiveSparkPlan",
+        "children": [
+            {
+                "nodeName": node,
+                "simpleString": f"{node} [k], [k], Inner",
+                "children": [side(left_accum), side(right_accum)],
+                "metrics": [],
+            }
+        ],
+        "metrics": [],
+    }
+
+
+def _sql_start(eid, plan):
+    return {
+        "Event": "org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart",
+        "executionId": eid,
+        "sparkPlanInfo": plan,
+    }
+
+
+def _driver_accums(eid, pairs):
+    return {
+        "Event": "org.apache.spark.sql.execution.ui.SparkListenerDriverAccumUpdates",
+        "executionId": eid,
+        "accumUpdates": pairs,
+    }
+
+
+def test_audit_flags_broadcast_miss_smj(tmp_path):
+    """Rule C: an executed SortMergeJoin whose small side is 1 MB while the
+    other shuffles 500 MB — AQE should have broadcast it."""
+    events = [
+        _sql_start(1, _plan_smj(101, 102)),
+        _driver_accums(1, [[101, 1_000_000], [102, 500_000_000]]),
+    ]
+    parsed = audit_event_log.parse_event_log_full(_write_log(tmp_path, events))
+    findings = audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"])
+    assert [f["rule"] for f in findings] == ["broadcast-miss-smj"]
+    assert findings[0]["small_side_bytes"] == 1_000_000
+
+
+def test_audit_smj_clean_cases(tmp_path):
+    """No rule-C false positives when: both sides are big (SMJ is right),
+    both sides are tiny (join is trivially cheap), a size is unknown, or
+    the adaptive FINAL plan replaced the SMJ with a broadcast join."""
+    events = [
+        _sql_start(1, _plan_smj(101, 102)),  # both big
+        _driver_accums(1, [[101, 60_000_000], [102, 500_000_000]]),
+        _sql_start(2, _plan_smj(201, 202)),  # both tiny
+        _driver_accums(2, [[201, 1_000], [202, 2_000]]),
+        _sql_start(3, _plan_smj(301, 302)),  # right side size never recorded
+        _driver_accums(3, [[301, 1_000_000]]),
+        _sql_start(4, _plan_smj(401, 402)),  # AQE replanned to broadcast
+        _driver_accums(4, [[401, 1_000_000], [402, 500_000_000]]),
+        {
+            "Event": "org.apache.spark.sql.execution.ui."
+                     "SparkListenerSQLAdaptiveExecutionUpdate",
+            "executionId": 4,
+            "sparkPlanInfo": _plan_smj(401, 402, node="BroadcastHashJoin"),
+        },
+    ]
+    parsed = audit_event_log.parse_event_log_full(_write_log(tmp_path, events))
+    assert audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"]) == []
+
+
+def test_audit_exit_code_clamped(tmp_path, monkeypatch):
+    """300 findings must NOT exit 300 (wraps to 44) nor 256 (wraps to 0):
+    main() clamps to 125 and keeps the true count in the JSON report."""
+    events = []
+    for sid in range(300):
+        events.append(_task_end(sid, run_ms=5_000, input_rec=60_000))
+        events.append(_stage_completed(sid, 1, "bad scan"))
+    log = _write_log(tmp_path, events)
+    report_path = str(tmp_path / "report.json")
+    monkeypatch.setattr(
+        sys, "argv", ["audit_event_log.py", log, "--json", report_path]
+    )
+    rc = audit_event_log.main()
+    assert rc == 125
+    report = json.loads(open(report_path).read())
+    assert len(report["findings"]) == 300
+
+
 # --------- bench_curation's sampled hot-bucket audit (r7) ----------------
 
 _spec_bc = importlib.util.spec_from_file_location(

@@ -21,6 +21,23 @@ Rules (per completed stage, task metrics aggregated from TaskEnd events):
      one core. The r6 instance: sf0.1 documents.parquet is one file; the
      shingle/minhash map serialized until the `_docs_wide` spread.
 
+  C. broadcast-miss SMJ (r8) — a SortMergeJoin in the FINAL (post-AQE)
+     plan where one input side's materialized size ("data size" of the
+     nearest exchange / "size of files read" of the scan under that side)
+     is under the broadcast threshold. AQE converts such joins to
+     broadcast automatically, so one SURVIVING in the executed plan means
+     something defeated the conversion (a non-equi condition, an explicit
+     hint, a disabled config) — the classic silent 100×-scale shuffle
+     regression. Both sides' sizes must be known and the other side must
+     exceed the threshold (two tiny sides are a trivially cheap join).
+
+  D. task-duration skew (r8) — a completed stage with >= SKEW_MIN_TASKS
+     tasks whose p99 task run time is >= SKEW_X times the median (median
+     >= SKEW_MIN_MEDIAN_MS, p99 >= MIN_RUNTIME_MS): a hot key / unsplit
+     partition that per-stage record totals cannot show. One straggler
+     out of hundreds is exactly the shape that becomes the job's wall
+     clock at 1000 executors.
+
 Thresholds are deliberately coarse: tiny driver-bounded stages legitimately
 run as one task (that is AQE doing its job on genuinely small work); only
 one-task stages that are BOTH large-record and slow are scale smells.
@@ -34,8 +51,11 @@ uses fusion_spark.session.get_spark, e.g. the standing sf0.1 gate sweep:
 
 Usage: python tools/audit_event_log.py <eventlog-file-or-dir>...
            [--expand-x 10] [--min-records 10000] [--min-runtime-ms 2000]
+           [--broadcast-threshold 10485760] [--skew-x 5]
            [--json PATH]
-Exit status: number of findings (0 = clean).
+Exit status: 0 = clean, else min(#findings, 125) — raw exit codes wrap
+mod 256, so a large finding count must not alias to 0 in a CI gate; the
+exact count lives in the JSON report.
 """
 
 from __future__ import annotations
@@ -43,11 +63,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 
 EXPAND_X = 10.0
 MIN_RECORDS = 10_000
 MIN_RUNTIME_MS = 2_000
+BROADCAST_THRESHOLD = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold default
+SKEW_X = 5.0
+SKEW_MIN_TASKS = 10
+SKEW_MIN_MEDIAN_MS = 100
+
+_SQL_START = "org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart"
+_SQL_ADAPTIVE = "org.apache.spark.sql.execution.ui.SparkListenerSQLAdaptiveExecutionUpdate"
+_SQL_DRIVER_ACCUMS = "org.apache.spark.sql.execution.ui.SparkListenerDriverAccumUpdates"
 
 
 def iter_event_files(paths: list[str]):
@@ -78,7 +107,32 @@ def parse_event_log(path: str) -> dict[int, dict]:
     """One record per stage attempt 0: task-metric sums + stage metadata.
     Tolerates .inprogress logs and unknown events (skips unparseable lines —
     Spark truncates the last line of an in-progress log mid-write)."""
+    return parse_event_log_full(path)["stages"]
+
+
+def parse_event_log_full(path: str) -> dict:
+    """Single pass over the log → {"stages": {sid: {...}}, "plans":
+    {executionId: final sparkPlanInfo}, "accums": {accumId: int value}}.
+
+    Plans: the LAST plan seen per executionId (SQLExecutionStart, then each
+    SQLAdaptiveExecutionUpdate supersedes it) — i.e. the EXECUTED post-AQE
+    plan, which is where a surviving SortMergeJoin is meaningful.
+    Accums: SQL metrics are Long accumulators; final values come from
+    StageCompleted's cumulative Accumulables plus DriverAccumUpdates
+    (exchanges report "data size" from tasks; some scans report
+    driver-side). Max per id = the cumulative total."""
     stages: dict[int, dict] = {}
+    plans: dict[int, dict] = {}
+    accums: dict[int, int] = {}
+
+    def _note_accum(aid, value) -> None:
+        try:
+            v = int(value)
+        except (TypeError, ValueError):
+            return
+        if aid is not None and v >= accums.get(aid, -1):
+            accums[aid] = v
+
     with open(path, encoding="utf-8", errors="replace") as f:
         for line in f:
             try:
@@ -95,13 +149,17 @@ def parse_event_log(path: str) -> dict[int, dict]:
                 st["name"] = (info.get("Stage Name") or "").split("\n")[0][:120]
                 st["num_tasks"] = info.get("Number of Tasks", 0)
                 st["completed"] = True
+                for acc in info.get("Accumulables") or []:
+                    _note_accum(acc.get("ID"), acc.get("Value"))
             elif kind == "SparkListenerTaskEnd":
                 if ev.get("Stage Attempt ID", 0) != 0:
                     continue
                 sid = ev.get("Stage ID")
                 m = ev.get("Task Metrics") or {}
                 st = stages.setdefault(sid, _empty_stage())
-                st["run_ms"] += m.get("Executor Run Time", 0)
+                run_ms = m.get("Executor Run Time", 0)
+                st["run_ms"] += run_ms
+                st["task_ms"].append(run_ms)
                 st["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
                 st["input_records"] += (m.get("Input Metrics") or {}).get(
                     "Records Read", 0
@@ -112,7 +170,16 @@ def parse_event_log(path: str) -> dict[int, dict]:
                 st["shuffle_write_records"] += (
                     m.get("Shuffle Write Metrics") or {}
                 ).get("Shuffle Records Written", 0)
-    return stages
+            elif kind in (_SQL_START, _SQL_ADAPTIVE):
+                eid = ev.get("executionId")
+                plan = ev.get("sparkPlanInfo")
+                if eid is not None and plan is not None:
+                    plans[eid] = plan
+            elif kind == _SQL_DRIVER_ACCUMS:
+                for pair in ev.get("accumUpdates") or []:
+                    if isinstance(pair, (list, tuple)) and len(pair) == 2:
+                        _note_accum(pair[0], pair[1])
+    return {"stages": stages, "plans": plans, "accums": accums}
 
 
 def _empty_stage() -> dict:
@@ -125,6 +192,7 @@ def _empty_stage() -> dict:
         "input_records": 0,
         "shuffle_read_records": 0,
         "shuffle_write_records": 0,
+        "task_ms": [],
     }
 
 
@@ -133,10 +201,40 @@ def audit_stages(
     expand_x: float = EXPAND_X,
     min_records: int = MIN_RECORDS,
     min_runtime_ms: int = MIN_RUNTIME_MS,
+    skew_x: float = SKEW_X,
 ) -> list[dict]:
     findings = []
     for sid, st in sorted(stages.items()):
-        if not st["completed"] or st["num_tasks"] != 1:
+        if not st["completed"]:
+            continue
+        # rule D: task-duration skew — multi-task stages only (1-task
+        # stages are rules A/B's territory; skew needs a population)
+        ts = st["task_ms"]
+        if len(ts) >= SKEW_MIN_TASKS and st["num_tasks"] > 1:
+            med = statistics.median(ts)
+            p99 = sorted(ts)[min(len(ts) - 1, int(0.99 * (len(ts) - 1) + 0.999))]
+            if (
+                med >= SKEW_MIN_MEDIAN_MS
+                and p99 >= min_runtime_ms
+                and p99 >= skew_x * med
+            ):
+                findings.append(
+                    {
+                        "rule": "task-skew",
+                        "stage_id": sid,
+                        "stage": st["name"],
+                        "num_tasks": len(ts),
+                        "median_ms": round(med, 1),
+                        "p99_ms": p99,
+                        "detail": (
+                            f"stage p99 task time {p99} ms is "
+                            f"{p99 / med:.1f}x its median ({med:.0f} ms) over "
+                            f"{len(ts)} tasks — a hot key / unsplit partition; "
+                            "salt the key or let AQE skew-join split it"
+                        ),
+                    }
+                )
+        if st["num_tasks"] != 1:
             continue
         if st["run_ms"] < min_runtime_ms:
             continue
@@ -179,24 +277,97 @@ def audit_stages(
     return findings
 
 
+_SIZE_METRIC_NAMES = ("data size", "size of files read")
+
+
+def _subtree_size_bytes(node: dict, accums: dict[int, int]) -> int | None:
+    """Materialized byte size of a plan subtree: BFS for the nearest node
+    carrying a size metric with a recorded accumulator value (Exchange
+    "data size"; scan "size of files read"). The NEAREST one is the join
+    input actually shipped, which is what broadcastability is about."""
+    queue = [node]
+    while queue:
+        nxt = []
+        for n in queue:
+            for m in n.get("metrics") or []:
+                if m.get("name") in _SIZE_METRIC_NAMES:
+                    v = accums.get(m.get("accumulatorId"))
+                    if v is not None:
+                        return v
+            nxt.extend(n.get("children") or [])
+        queue = nxt
+    return None
+
+
+def audit_sql_plans(
+    plans: dict[int, dict],
+    accums: dict[int, int],
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> list[dict]:
+    """Rule C: SortMergeJoin surviving in the final plan with one side's
+    materialized size under the broadcast threshold (and the other side
+    above it — two tiny sides are a trivially cheap join either way)."""
+    findings = []
+    for eid, root in sorted(plans.items()):
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            children = node.get("children") or []
+            stack.extend(children)
+            if not str(node.get("nodeName", "")).startswith("SortMergeJoin"):
+                continue
+            if len(children) != 2:
+                continue
+            sizes = [_subtree_size_bytes(c, accums) for c in children]
+            if any(s is None for s in sizes):
+                continue
+            small, big = min(sizes), max(sizes)
+            if small <= broadcast_threshold < big:
+                side = "left" if sizes[0] == small else "right"
+                findings.append(
+                    {
+                        "rule": "broadcast-miss-smj",
+                        "execution_id": eid,
+                        "stage": node.get("simpleString", "")[:120],
+                        "small_side_bytes": small,
+                        "large_side_bytes": big,
+                        "detail": (
+                            f"SortMergeJoin executed with its {side} side at "
+                            f"{small} bytes (< broadcast threshold "
+                            f"{broadcast_threshold}) vs {big} on the other — "
+                            "AQE did not convert it (non-equi condition, "
+                            "hint, or disabled config?); broadcast the small "
+                            "side to drop the big side's shuffle"
+                        ),
+                    }
+                )
+    return findings
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("paths", nargs="+", help="event log file(s) or dir(s)")
     ap.add_argument("--expand-x", type=float, default=EXPAND_X)
     ap.add_argument("--min-records", type=int, default=MIN_RECORDS)
     ap.add_argument("--min-runtime-ms", type=int, default=MIN_RUNTIME_MS)
+    ap.add_argument("--broadcast-threshold", type=int, default=BROADCAST_THRESHOLD)
+    ap.add_argument("--skew-x", type=float, default=SKEW_X)
     ap.add_argument("--json", dest="json_path", default=None)
     args = ap.parse_args()
 
     all_findings, n_stages, n_apps = [], 0, 0
     for path in iter_event_files(args.paths):
-        stages = parse_event_log(path)
-        if not stages:
+        parsed = parse_event_log_full(path)
+        stages = parsed["stages"]
+        if not stages and not parsed["plans"]:
             continue
         n_apps += 1
         n_stages += sum(1 for s in stages.values() if s["completed"])
         for f in audit_stages(
-            stages, args.expand_x, args.min_records, args.min_runtime_ms
+            stages, args.expand_x, args.min_records, args.min_runtime_ms,
+            args.skew_x,
+        ) + audit_sql_plans(
+            parsed["plans"], parsed["accums"], args.broadcast_threshold
         ):
             all_findings.append({"app": os.path.basename(path), **f})
 
@@ -210,9 +381,12 @@ def main() -> int:
             json.dump(report, f, indent=2)
     print(json.dumps(report if all_findings else {**report, "findings": []}))
     for f in all_findings:
-        print(f"[{f['rule']}] app={f['app']} stage={f['stage_id']} "
+        print(f"[{f['rule']}] app={f['app']} "
+              f"stage={f.get('stage_id', f.get('execution_id'))} "
               f"{f['detail']}", file=sys.stderr)
-    return len(all_findings)
+    # clamp: raw counts wrap mod 256 in the shell, so exactly 256 findings
+    # would exit 0 and read as clean in a CI gate; the JSON carries the count
+    return min(len(all_findings), 125)
 
 
 if __name__ == "__main__":
