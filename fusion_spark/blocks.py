@@ -126,7 +126,70 @@ def varint_decode(blob: bytes, count: int) -> np.ndarray:
 
 # --------------------------- packing ---------------------------------------
 
-def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
+def auto_segment_size(
+    termstats: DataFrame,
+    n_docs: int,
+    target_postings_per_block: int = 64,
+    lo: int = 1 << 12,
+    hi: int = 1 << 22,
+) -> int:
+    """Pick the smallest power-of-two segment size whose EXPECTED mean
+    postings-per-block reaches `target_postings_per_block` — the r7
+    measurement encoded as a default (BENCH.md physical layer: at 99.2M
+    postings 2^14 → ~4 postings/block → 1.49× compression from per-block
+    metadata overhead; 2^17 → ~33/block → 2.07×, identical top-k at both;
+    "tens-to-hundreds per block" is where compression has flattened but a
+    segment skip still prunes usefully fine-grained doc ranges).
+
+    Model: with docs spread uniformly over n_segments = ceil(n_docs/S),
+    a term of document frequency df touches ≈ min(df, n_segments) segments
+    (rare term → every posting its own block; hot term → every segment),
+    so blocks(S) ≈ Σ_t min(df_t, n_segments) and mean postings/block =
+    Σ df / blocks(S). All candidate S are evaluated in ONE vocab-sized
+    aggregate over termstats (no postings pass)."""
+    import math
+
+    cands = []
+    s = lo
+    while s <= hi:
+        cands.append(s)
+        s <<= 1
+    aggs = [
+        F.sum(F.least(F.col("df"), F.lit(int(math.ceil(n_docs / c))))).alias(f"b{i}")
+        for i, c in enumerate(cands)
+    ] + [F.sum("df").alias("p")]
+    row = termstats.agg(*aggs).collect()[0]
+    postings = row["p"] or 0
+    for i, c in enumerate(cands):
+        blocks = row[f"b{i}"] or 1
+        if postings / blocks >= target_postings_per_block:
+            return c
+    return hi
+
+
+def pack_shuffle_partitions(
+    n_postings: int, cores: int = 32, postings_per_task: int = 1_500_000
+) -> int:
+    """Shuffle-partition count for the pack stage (the curation heuristic's
+    shape, applied to the r7 ADVICE memory-model note): pack_partition
+    materializes its WHOLE shuffle partition as pandas/numpy columns
+    (~40-60 bytes per posting across term codes + 3 int64 columns + the
+    encoded streams), so per-task memory is n_postings/partitions × that —
+    1.5M postings/task ≈ 100 MB peak, comfortably inside an executor-core
+    share at the 4g/core the at-size runs use. Power of two, floored at
+    cores*2 for full parallelism on small inputs, capped at 65,536."""
+    import math
+
+    raw = max(n_postings / postings_per_task, 1)
+    p = 2 ** round(math.log2(raw))
+    return min(max(p, cores * 2), 65_536)
+
+
+def pack_index(
+    index: BM25Index,
+    segment_size: int | str = 1 << 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Postings → packed blocks: repartition co-locates every (term, segment)
     group, then ONE vectorized pass per partition builds all of its blocks.
 
@@ -147,7 +210,18 @@ def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
     Segment uses INTEGER division (`div`): float division truncates toward
     zero for negatives and loses precision near 2^53, which would make
     deltas[0] negative and silently wrap in varint_encode. Negative doc_ids
-    are rejected at pack time (div truncates ≠ floors below zero)."""
+    are rejected at pack time (div truncates ≠ floors below zero).
+
+    `segment_size="auto"` derives the size from the index's own term-df
+    distribution via `auto_segment_size` (one vocab-sized aggregate).
+    `num_partitions` bounds per-task memory: each pack task materializes
+    its whole shuffle partition (~40-60 bytes/posting in pandas/numpy), so
+    size it from the postings count — `pack_shuffle_partitions` encodes
+    ~1.5M postings/task; None keeps the session shuffle-partition default
+    (fine to ~10^8 postings at 64 partitions / 4g-core executors)."""
+    if segment_size == "auto":
+        segment_size = auto_segment_size(index.termstats, index.n_docs)
+    segment_size = int(segment_size)
     p = index.postings.withColumn(
         "segment", F.expr(f"doc_id div {int(segment_size)}")
     )
@@ -213,9 +287,11 @@ def pack_index(index: BM25Index, segment_size: int = 1 << 20) -> DataFrame:
             }
         )
 
-    return p.repartition("term", "segment").mapInPandas(
-        pack_partition, schema=BLOCK_SCHEMA
-    )
+    if num_partitions is not None:
+        rep = p.repartition(int(num_partitions), "term", "segment")
+    else:
+        rep = p.repartition("term", "segment")
+    return rep.mapInPandas(pack_partition, schema=BLOCK_SCHEMA)
 
 
 @dataclass
@@ -228,9 +304,17 @@ class PackedIndex:
     variant: str = "bm25"
 
     @classmethod
-    def from_index(cls, index: BM25Index, segment_size: int = 1 << 20) -> "PackedIndex":
+    def from_index(
+        cls,
+        index: BM25Index,
+        segment_size: int | str = 1 << 20,
+        num_partitions: int | None = None,
+    ) -> "PackedIndex":
+        if segment_size == "auto":
+            segment_size = auto_segment_size(index.termstats, index.n_docs)
+        segment_size = int(segment_size)
         return cls(
-            blocks=pack_index(index, segment_size),
+            blocks=pack_index(index, segment_size, num_partitions=num_partitions),
             termstats=index.termstats,
             n_docs=index.n_docs,
             avgdl=index.avgdl,

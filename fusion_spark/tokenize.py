@@ -40,7 +40,18 @@ BASELINE.json input_hint). Three modes:
                    closest context-free stand-in for the reference's model
                    lemmatizer, POS-ambiguous lemmas excluded by design.
   * ``code``     — Arrow `pandas_udf` for source code: identifier / number /
-                   operator tokens, for the Iceberg source-code corpus shape.
+                   operator tokens, for the Iceberg source-code corpus
+                   shape. MEASURED choice, not a concession (BENCH.md r8
+                   A/B at 1.44M docs): CPython's sre runs this 3-branch
+                   alternation ~3× faster than java.util.regex
+                   (`regexp_extract_all` 20.6 s vs 6.65 s at local[8],
+                   equal at local[2]; a replace-then-split JVM variant is
+                   3× worse again), so the Arrow batch transfer buys more
+                   than JVM residency here.
+  * ``code_jvm`` — the PURE-JVM twin (`regexp_extract_all` + `filter` +
+                   `transform`; token-identical, property-tested): for
+                   deployments that can't ship Python workers, at the
+                   measured regex-engine cost.
 
 All modes return ``array<string>`` so downstream plans are identical.
 """
@@ -65,7 +76,14 @@ DEFAULT_STOPWORDS = frozenset(
 
 _PUNCT_RE = re.compile(r"^[^\w\s]+$")  # token made only of punctuation
 _DIGIT_RE = re.compile(r".*\d+")  # preprocessor.py:65 — any digit anywhere
-_CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?|[^\sA-Za-z0-9_]")
+# identifiers / numeric literals / single operator-punct chars. Explicit
+# ASCII classes + re.ASCII so the SAME pattern means the same thing in all
+# three engines that run it: Python re (unicode \d/\s by default), Java
+# regex (ASCII \d/\s by default), and DuckDB RE2 (the oracle) — with bare
+# \d/\s the Python path silently tokenized unicode digits/whitespace
+# differently from both others.
+_CODE_TOKEN_PATTERN = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+(?:\.[0-9]+)?|[^\sA-Za-z0-9_]"
+_CODE_TOKEN_RE = re.compile(_CODE_TOKEN_PATTERN, re.ASCII)
 
 
 def simple_tokens(col: Column) -> Column:
@@ -306,16 +324,48 @@ def make_reference_tokenizer(
     return reference_tokens
 
 
+def code_tokens_expr(
+    col: Column, drop_numbers: bool = True, lowercase: bool = True
+) -> Column:
+    """Source-code tokens as a PURE-JVM expression — identifiers, numeric
+    literals, single operator/punct chars via `regexp_extract_all`, the
+    number drop via `filter` on the first character, the lowercase via
+    `transform`. Token-identical to the default ``code`` Arrow mode
+    (property-tested) and to the DuckDB oracle — all three run
+    `_CODE_TOKEN_PATTERN` with ASCII class semantics.
+
+    NOT the default, by measurement (BENCH.md r8 A/B, 1.44M docs): the
+    cost is `regexp_extract_all` itself — java.util.regex runs the
+    3-branch alternation ~3× slower than CPython's sre (20.6 s vs 6.65 s
+    at local[8]; the filter/transform HOFs add <1 s; a replace-then-split
+    reformulation is 3× worse again at 67 s). Use this when executors
+    cannot run Python workers; otherwise ``code`` wins throughput."""
+    toks = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_CODE_TOKEN_PATTERN), F.lit(0)
+    )
+    if drop_numbers:
+        toks = F.filter(toks, lambda t: ~t.substr(1, 1).rlike("[0-9]"))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    return toks
+
+
 def make_code_tokenizer(drop_numbers: bool = True, lowercase: bool = True):
-    """Tokenizer for source code: identifiers, numeric literals, single
-    operator/punct chars. Vectorized over Arrow batches."""
+    """The DEFAULT code tokenizer: Arrow-batched `pandas_udf` whose inner
+    loop is `re.findall`. Interpreted Python per row, yet 3× faster than
+    the JVM `regexp_extract_all` twin on the 1.44M-doc A/B (BENCH.md r8) —
+    sre's compiled program beats java.util.regex on this alternation by
+    more than the Arrow transfer costs."""
 
     @F.pandas_udf(ArrayType(StringType()))
     def code_tokens(texts: pd.Series) -> pd.Series:
         def tok(t: str) -> list[str]:
             out = _CODE_TOKEN_RE.findall(t)
             if drop_numbers:
-                out = [x for x in out if not x[0].isdigit()]
+                # '0' <= c <= '9', not str.isdigit(): isdigit() is true for
+                # unicode digit-LIKE chars (e.g. '²') the regex never treats
+                # as number starts — the JVM/RE2 paths check [0-9]
+                out = [x for x in out if not ("0" <= x[0] <= "9")]
             if lowercase:
                 out = [x.lower() for x in out]
             return out
@@ -358,7 +408,9 @@ def tokenize(
             lemma_table=lemma_table if lemma_table is not None else LEMMA_TABLE_EN_SAMPLE,
         )(col)
     elif mode == "code":
-        tok = make_code_tokenizer()(col)
+        tok = make_code_tokenizer()(col)  # Arrow sre — measured 3× over JVM
+    elif mode == "code_jvm":
+        tok = code_tokens_expr(col)  # no-Python-workers twin (slower, r8)
     else:
         raise ValueError(f"unknown tokenizer mode: {mode}")
     return df.withColumn(out_col, tok)

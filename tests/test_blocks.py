@@ -334,3 +334,83 @@ def test_pack_group_spanning_arrow_batches(spark):
     assert np.array_equal(ids, np.arange(n))
     tfs = varint_decode(bytes(blk["tf_blob"]), n)
     assert tfs.min() == tfs.max() == 1
+
+
+def test_auto_segment_size_model_and_bounds(spark):
+    """auto_segment_size picks the smallest power-of-two S whose expected
+    mean postings/block (Σdf / Σ min(df, ceil(n_docs/S))) reaches the
+    target — hand-computed on a synthetic df distribution; clamps to hi
+    when even the largest candidate can't reach it."""
+    from fusion_spark.blocks import auto_segment_size
+
+    # 100 rare terms df=2 + 1 hot term df=50_000 over 1M docs.
+    rows = [(f"r{i}", 2, 0.1) for i in range(100)] + [("hot", 50_000, 0.1)]
+    ts = spark.createDataFrame(rows, "term string, df long, idf double")
+    n_docs = 1_000_000
+    # Python twin of the model, over the candidate ladder
+    import math
+
+    def expected(target, lo=1 << 12, hi=1 << 22):
+        s = lo
+        while s <= hi:
+            nseg = math.ceil(n_docs / s)
+            blocks = sum(min(df, nseg) for _, df, _ in rows)
+            postings = sum(df for _, df, _ in rows)
+            if postings / blocks >= target:
+                return s
+            s <<= 1
+        return hi
+
+    for target in (16, 64, 256):
+        assert auto_segment_size(ts, n_docs, target) == expected(target)
+    # unreachable target → hi clamp
+    assert auto_segment_size(ts, n_docs, 10**9) == 1 << 22
+
+
+def test_pack_auto_segment_identical_to_explicit(spark, docs_df, queries_df):
+    """segment_size='auto' must produce byte-identical blocks to packing
+    with the resolved integer, and WAND over it stays rank-identical to
+    the exact scorer."""
+    from fusion_spark.blocks import auto_segment_size
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    auto_packed = PackedIndex.from_index(idx, segment_size="auto")
+    resolved = auto_segment_size(idx.termstats, idx.n_docs)
+    assert auto_packed.segment_size == resolved
+    explicit = PackedIndex.from_index(idx, segment_size=resolved)
+
+    def blobs(p):
+        return sorted(
+            (r["term"], r["segment"], bytes(r["doc_blob"]), bytes(r["tf_blob"]))
+            for r in p.blocks.collect()
+        )
+
+    assert blobs(auto_packed) == blobs(explicit)
+    exact = _collect(search(idx, queries_df, k=10, k1=2.5, b=0.2, zero_tail=False))
+    wand = _collect(wand_search(auto_packed, queries_df, k=10, k1=2.5, b=0.2))
+    for qid in exact:
+        assert [d for d, _ in wand[qid]] == [d for d, _ in exact[qid]]
+
+
+def test_pack_num_partitions_identical_blocks(spark, docs_df):
+    """Explicit num_partitions (the r7 advice memory-model knob) must not
+    change ANY block bytes — only task layout; and pack_shuffle_partitions
+    encodes ~1.5M postings/task, power-of-two, cores*2 floor."""
+    from fusion_spark.blocks import pack_index, pack_shuffle_partitions
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+
+    def blobs(df):
+        return sorted(
+            (r["term"], r["segment"], bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+             bytes(r["dl_blob"]))
+            for r in df.collect()
+        )
+
+    base = blobs(pack_index(idx, segment_size=16))
+    assert blobs(pack_index(idx, segment_size=16, num_partitions=3)) == base
+    assert blobs(pack_index(idx, segment_size=16, num_partitions=17)) == base
+
+    assert pack_shuffle_partitions(99_200_000, cores=8) == 64
+    assert pack_shuffle_partitions(1_000, cores=8) == 16      # cores*2 floor
+    assert pack_shuffle_partitions(10**12, cores=8) == 65_536  # cap

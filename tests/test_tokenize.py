@@ -35,6 +35,49 @@ def test_code_tokenizer(spark):
     assert "42" not in got  # numeric literals dropped by default
 
 
+def test_code_tokenizer_jvm_plan_has_no_python(spark):
+    """mode='code_jvm' (the no-Python-workers twin, r8) must be a pure-JVM
+    expression: no ArrowEvalPython / BatchEvalPython node in its plan."""
+    df = spark.createDataFrame([{"text": "def f(x): return x + 1"}])
+    plan = tokenize(df, mode="code_jvm")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_code_tokenizer_jvm_matches_python_twin(spark):
+    """The JVM expression and the Arrow twin must be token-identical on an
+    adversarial corpus: ASCII code shapes, unicode digits (Python's bare \\d
+    would have matched them — the ASCII-class pattern must not), digit-LIKE
+    chars ('²' is isdigit() but not [0-9]), unicode whitespace (NBSP is NOT
+    a separator under ASCII \\s in any of the three engines), accents,
+    nulls, empties, and 200 seeded random strings."""
+    import random
+
+    cases = [
+        "def foo_bar(x1, y):\n  return x1 + 42",
+        "x += 3.14; y = .5 + 2.",
+        "CamelCase snake_case _under __dunder__ A1B2",
+        "nombre_de_cafés = 3",        # accented identifier char
+        "٣٤ apples",             # Arabic-Indic digits ٣٤
+        "area² = side²",         # '²' — isdigit() true, [0-9] false
+        "a b",                        # NBSP — token char under ASCII \s
+        "ab",                        # \v — Java/Python-ASCII whitespace
+        "İstanbul Iı",           # Turkish dotted/dotless I
+        "emoji \U0001f600 in code // why",
+        "line1\r\nline2\ttab",
+        "", "   ", None,
+    ]
+    rng = random.Random(8)
+    pool = "abcXYZ_ 0123456789.+-*/(){}[];:#\"'\\\n\té²٣"
+    cases += ["".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+              for _ in range(200)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, text string")
+    jvm = {r["i"]: r["tokens"] for r in tokenize(df, mode="code_jvm").collect()}
+    pyt = {r["i"]: r["tokens"] for r in tokenize(df, mode="code").collect()}
+    for i, text in enumerate(cases):
+        assert jvm[i] == pyt[i], f"case {i}: {text!r} -> {jvm[i]} vs {pyt[i]}"
+
+
 def test_sha256_invariant(spark, docs_df):
     """content sha256 equality per row must survive the pipeline
     (BASELINE.json input_hint)."""

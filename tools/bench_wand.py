@@ -43,8 +43,10 @@ def main():
     dl = int(sys.argv[3]) if len(sys.argv) > 3 else 60
     # block sizing is the physical-layer tuning knob: tiny blocks (huge
     # vocab relative to docs/segment) pay per-block metadata overhead in
-    # both compression ratio and block count
-    segment_size = int(sys.argv[4]) if len(sys.argv) > 4 else 1 << 14
+    # both compression ratio and block count. "auto" derives it from the
+    # index's df distribution (blocks.auto_segment_size, r8).
+    seg_arg = sys.argv[4] if len(sys.argv) > 4 else str(1 << 14)
+    segment_size = seg_arg if seg_arg == "auto" else int(seg_arg)
 
     spark = get_spark(app_name="bench-wand", cores=8)
     # Zipf-ish term ids: rank r with weight ~ 1/(r+1) approximated by
@@ -114,7 +116,9 @@ def main():
 
     print(json.dumps({
         "n_docs": n_docs, "vocab": vocab, "dl": dl,
-        "segment_size": segment_size, "n_postings": n_post,
+        "segment_size": packed.segment_size,
+        "segment_size_mode": "auto" if seg_arg == "auto" else "explicit",
+        "n_postings": n_post,
         "postings_parquet_bytes": raw_bytes, "packed_blocks_bytes": packed_bytes,
         "compression_ratio": round(raw_bytes / packed_bytes, 2),
         "query_selectivity": round(sel, 5),
