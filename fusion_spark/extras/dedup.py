@@ -299,6 +299,7 @@ def duplicate_clusters(
     nodes: DataFrame | None = None,
     max_iters: int = 20,
     stats_out: dict | None = None,
+    policy: str = "propagate",
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph — the standard
     web-dedup primitive (union-find at cluster scale): every doc in a
@@ -332,7 +333,21 @@ def duplicate_clusters(
     `stats_out`: optional dict filled with {"cc_rounds": n, "cc_round_secs":
     [...], "cc_converged": bool} — rounds-to-convergence and per-round wall
     are the numbers a 100-TB extrapolation of an iterative job needs.
+
+    `policy` (r8, long-chain insurance): "propagate" (default) is the
+    min-label propagation above — O(diameter) rounds, the right cost model
+    for `banded_candidate_pairs`' star-shaped output (measured diameter ≤ 2
+    at 1.2M and 12M docs). "jump" adds POINTER JUMPING after each
+    propagation step (L ← L∘L, one extra self-join of the label frame per
+    round — Shiloach-Vishkin-style path compression), collapsing label
+    chains geometrically: O(log diameter) rounds, so a verified-pair graph
+    with a deep chain (crawl near-dup chains, transitive shingle overlaps)
+    fits a small max_iters where propagate would need diameter rounds.
+    Same fixpoint, same output, same convergence probe — use it when the
+    pair graph did NOT come from star-pairing.
     Output: (doc_id, cluster_rep)."""
+    if policy not in ("propagate", "jump"):
+        raise ValueError(f"unknown policy: {policy!r} (propagate|jump)")
     import time as _time
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -390,10 +405,23 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = _ckpt(
+        stepped = (
             labels.join(neigh, "doc_id", "left")
             .select("doc_id", F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"))
         )
+        if policy == "jump":
+            # pointer jumping: L(v) ← L(L(v)). Labels are doc_ids of
+            # universe members (mins of seen doc_ids), so the lookup self-
+            # join always hits; chains halve per round instead of shrinking
+            # by one. Monotone (labels only decrease toward the component
+            # min), so the fixpoint and the zero-change probe are unchanged.
+            lut = stepped.select(
+                F.col("doc_id").alias("lab"), F.col("lab").alias("lab2")
+            )
+            stepped = stepped.join(lut, "lab", "left").select(
+                "doc_id", F.coalesce("lab2", F.col("lab")).alias("lab")
+            )
+        new_labels = _ckpt(stepped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

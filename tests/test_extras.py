@@ -748,6 +748,45 @@ def test_duplicate_clusters_diameter_equals_budget_converges(spark):
         dedup.duplicate_clusters(chain, max_iters=3)
 
 
+def test_duplicate_clusters_jump_policy_deep_chain(spark):
+    """r8 long-chain insurance: a planted 50-deep path graph (diameter 50)
+    — propagate needs >50 rounds and must fail LOUDLY on a 20-round budget;
+    policy='jump' (pointer jumping, O(log diameter)) converges inside 10
+    rounds with the same fixpoint."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 150)], "doc_a long, doc_b long"
+    )  # 51 nodes, diameter 50
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iters=20)
+
+    stats: dict = {}
+    got = {r["doc_id"]: r["cluster_rep"]
+           for r in dedup.duplicate_clusters(
+               chain, max_iters=10, stats_out=stats, policy="jump").collect()}
+    assert len(got) == 51 and all(v == 100 for v in got.values())
+    assert stats["cc_converged"] and stats["cc_rounds"] <= 10
+
+
+def test_duplicate_clusters_jump_same_fixpoint_as_propagate(spark):
+    """Both policies must emit identical (doc_id, cluster_rep) on a mixed
+    graph (two chains + an isolate via nodes=), and jump must use no MORE
+    rounds than propagate."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 9)] + [(20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.range(0, 31).select(F.col("id").alias("doc_id"))
+    sp, sj = {}, {}
+    prop = {r["doc_id"]: r["cluster_rep"] for r in dedup.duplicate_clusters(
+        pairs, nodes, max_iters=15, stats_out=sp).collect()}
+    jump = {r["doc_id"]: r["cluster_rep"] for r in dedup.duplicate_clusters(
+        pairs, nodes, max_iters=15, stats_out=sj, policy="jump").collect()}
+    assert prop == jump
+    assert sj["cc_rounds"] <= sp["cc_rounds"]
+    with pytest.raises(ValueError, match="unknown policy"):
+        dedup.duplicate_clusters(pairs, policy="stars")
+
+
 def test_oversize_error_policy_requires_cap():
     import pyspark  # noqa: F401
 

@@ -276,3 +276,61 @@ def test_audit_sample_expr_deterministic_and_unbiased(spark):
     )
     big = set(r["doc_id"] for r in df.filter(F.expr(pred)).collect())
     assert small <= big
+
+
+# --------- make_lemma_table (r8, P5 regeneration tooling) -----------------
+
+_spec_lt = importlib.util.spec_from_file_location(
+    "make_lemma_table",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "make_lemma_table.py"),
+)
+make_lemma_table = importlib.util.module_from_spec(_spec_lt)
+_spec_lt.loader.exec_module(make_lemma_table)
+
+
+def test_lemma_table_from_tsv_roundtrip(tmp_path):
+    """TSV conversion: identity pairs dropped, comments/blank lines skipped,
+    output is a function (sorted deterministic JSON via main)."""
+    tsv = tmp_path / "dump.tsv"
+    tsv.write_text("# comment\nwent\tgo\nsaid\tsay\nrun\trun\n\nmice\tmouse\n")
+    table = make_lemma_table.build_from_tsv(str(tsv))
+    assert table == {"went": "go", "said": "say", "mice": "mouse"}
+
+    out = tmp_path / "t.json"
+    monkey_argv = ["make_lemma_table.py", "--from-tsv", str(tsv), "--out", str(out)]
+    old = sys.argv
+    sys.argv = monkey_argv
+    try:
+        assert make_lemma_table.main() == 0
+    finally:
+        sys.argv = old
+    data = json.loads(out.read_text())
+    assert list(data) == sorted(data)  # deterministic bytes for pinning
+
+
+def test_lemma_table_from_tsv_rejects_conflicts_and_garbage(tmp_path):
+    bad1 = tmp_path / "c.tsv"
+    bad1.write_text("saw\tsee\nsaw\tsaw2\n")
+    import pytest
+
+    with pytest.raises(SystemExit, match="conflicting"):
+        make_lemma_table.build_from_tsv(str(bad1))
+    bad2 = tmp_path / "g.tsv"
+    bad2.write_text("just-one-column\n")
+    with pytest.raises(SystemExit, match="token<TAB>lemma"):
+        make_lemma_table.build_from_tsv(str(bad2))
+
+
+def test_lemma_irregulars_fixture_is_sound():
+    """The curated table must be chain-free (no value is also a key — a
+    lookup applied once must be idempotent), single-word, lowercase, and
+    free of the known POS-ambiguous surfaces it documents as excluded."""
+    from fusion_spark.lemma_data import LEMMA_TABLE_EN_IRREGULARS as T
+
+    assert len(T) > 150
+    for k, v in T.items():
+        assert k != v and " " not in k and " " not in v
+        assert k == k.lower() and v == v.lower()
+        assert v not in T, f"chain: {k} -> {v} -> {T.get(v)}"
+    for ambiguous in ("better", "best", "left", "lay", "found", "ground"):
+        assert ambiguous not in T
