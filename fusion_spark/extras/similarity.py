@@ -448,6 +448,12 @@ def write_lsh_store(
     planes = _hyperplanes(dim, n_planes, seed)
     (
         e.withColumn("sig", lsh_signature(F.col("vec"), planes))
+        # co-locate each signature before partitionBy: without this every
+        # input task holds an open writer per signature it sees (N_tasks ×
+        # 2^n_planes file churn, measured 8k+ tiny files at 100k vectors —
+        # r8 bench_ann); after it each partition directory is written by
+        # exactly one task. Content is unchanged, only file layout.
+        .repartition("sig")
         .write.mode("overwrite")
         .partitionBy("sig")
         .parquet(f"{path}/vectors")
@@ -509,6 +515,8 @@ def write_ivf_store(
     (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .join(assigned, "vec_id")
+        # one task per inverted list at write time (see write_lsh_store)
+        .repartition("centroid")
         .write.mode("overwrite")
         .partitionBy("centroid")
         .parquet(f"{path}/vectors")
