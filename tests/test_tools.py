@@ -228,6 +228,46 @@ def test_audit_smj_clean_cases(tmp_path):
     assert audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"]) == []
 
 
+def test_audit_smj_size_not_read_past_aggregates(tmp_path):
+    """r8 false-positive regression (caught live on the gate sweep): a
+    side whose input flows through an AGGREGATE before the join must read
+    as size-unknown — attributing the pre-aggregate exchange's 67 MB to a
+    64-row join side flagged three tiny-tiny LeftOuter joins."""
+    big_exchange = {
+        "nodeName": "Exchange", "simpleString": "Exchange hashpartitioning",
+        "children": [], "metrics": [
+            {"name": "data size", "accumulatorId": 501, "metricType": "size"}],
+    }
+    agg_side = {
+        "nodeName": "Sort", "simpleString": "Sort", "metrics": [],
+        "children": [{
+            "nodeName": "HashAggregate", "simpleString": "HashAggregate(keys=[qid])",
+            "children": [big_exchange], "metrics": [],
+        }],
+    }
+    tiny_side = {
+        "nodeName": "Sort", "simpleString": "Sort", "metrics": [],
+        "children": [{
+            "nodeName": "Exchange", "simpleString": "Exchange hashpartitioning",
+            "children": [], "metrics": [
+                {"name": "data size", "accumulatorId": 502, "metricType": "size"}],
+        }],
+    }
+    plan = {
+        "nodeName": "AdaptiveSparkPlan", "simpleString": "AdaptiveSparkPlan",
+        "metrics": [],
+        "children": [{
+            "nodeName": "SortMergeJoin",
+            "simpleString": "SortMergeJoin [qid], [qid], LeftOuter",
+            "children": [tiny_side, agg_side], "metrics": [],
+        }],
+    }
+    events = [_sql_start(1, plan),
+              _driver_accums(1, [[501, 500_000_000], [502, 120]])]
+    parsed = audit_event_log.parse_event_log_full(_write_log(tmp_path, events))
+    assert audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"]) == []
+
+
 def test_audit_exit_code_clamped(tmp_path, monkeypatch):
     """300 findings must NOT exit 300 (wraps to 44) nor 256 (wraps to 0):
     main() clamps to 125 and keeps the true count in the JSON report."""

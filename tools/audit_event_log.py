@@ -279,12 +279,29 @@ def audit_stages(
 
 _SIZE_METRIC_NAMES = ("data size", "size of files read")
 
+# Nodes a join-input size may be read THROUGH: they preserve cardinality
+# exactly, so an exchange/scan size found below them IS the join input
+# size. Anything else (HashAggregate, Window, another join, Generate,
+# Filter, Limit…) changes row counts between the metric and the join — a
+# size read past one of those attributes a DEEP descendant's bytes to the
+# join side, which is how rule C's first draft flagged three tiny-tiny
+# LeftOuter joins in the r8 gate sweep as "67 MB vs 120 B" (the 67 MB
+# exchange sat below a per-qid aggregate that reduced it to 64 rows).
+_SIZE_PASSTHROUGH_PREFIXES = (
+    "Sort", "Project", "AQEShuffleRead", "ShuffleQueryStage",
+    "BroadcastQueryStage", "TableCacheQueryStage", "ResultQueryStage",
+    "Exchange", "BroadcastExchange", "ReusedExchange", "ReusedQueryStage",
+    "WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+)
+
 
 def _subtree_size_bytes(node: dict, accums: dict[int, int]) -> int | None:
-    """Materialized byte size of a plan subtree: BFS for the nearest node
+    """Materialized byte size of a join input: BFS for the nearest node
     carrying a size metric with a recorded accumulator value (Exchange
-    "data size"; scan "size of files read"). The NEAREST one is the join
-    input actually shipped, which is what broadcastability is about."""
+    "data size"; scan "size of files read"), descending ONLY through
+    cardinality-preserving nodes. Unknown (None) when the input comes out
+    of an aggregate/window/join first — sound: no finding beats a finding
+    built on a misattributed size."""
     queue = [node]
     while queue:
         nxt = []
@@ -294,7 +311,8 @@ def _subtree_size_bytes(node: dict, accums: dict[int, int]) -> int | None:
                     v = accums.get(m.get("accumulatorId"))
                     if v is not None:
                         return v
-            nxt.extend(n.get("children") or [])
+            if str(n.get("nodeName", "")).startswith(_SIZE_PASSTHROUGH_PREFIXES):
+                nxt.extend(n.get("children") or [])
         queue = nxt
     return None
 
