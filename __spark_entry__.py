@@ -279,6 +279,64 @@ SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
 """
 
 
+def _lsh_mp_topk_sql(
+    k: int = 5, n_planes: int = 8, dim: int = 64, n_queries: int = 3,
+    n_probe: int = 3,
+) -> str:
+    """DuckDB mirror of multi-probe LSH (similarity._lsh_probe_sigs_udf →
+    lsh_cosine_topk(n_probe>1)): per-query hyperplane margins, exact
+    enumeration of all 2^n_planes flip masks, probe set = the n_probe
+    cheapest masks (total |margin| of flipped planes ASC, mask ASC — the
+    numpy stable-argsort tie rule), probed buckets joined on signature,
+    exact cosine + (cosine DESC, vec_id ASC) top-k."""
+    from fusion_spark.extras.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    sig = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in plane)}]) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    m_exprs = ",\n       ".join(
+        f"list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in plane)}]) AS m{i}"
+        for i, plane in enumerate(planes)
+    )
+    base = " + ".join(
+        f"CASE WHEN m{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(n_planes)
+    )
+    cost = " + ".join(
+        f"CASE WHEN (mask >> {i}) & 1 = 1 THEN abs(m{i}) ELSE 0.0 END"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH sigs AS (SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings),
+qm AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+       {m_exprs}
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+qb AS (SELECT *, ({base}) AS bsig FROM qm),
+masks AS (SELECT unnest(range(0, {1 << n_planes})) AS mask),
+ranked_probes AS (
+  SELECT qid, qvec, xor(bsig::BIGINT, mask::BIGINT) AS sig,
+         row_number() OVER (PARTITION BY qid ORDER BY ({cost}) ASC, mask ASC) AS rn
+  FROM qb CROSS JOIN masks
+),
+probes AS (SELECT qid, qvec, sig FROM ranked_probes WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.qid AS qid, s.vec_id AS vec_id,
+         list_cosine_similarity(p.qvec::DOUBLE[], s.embedding::DOUBLE[]) AS cosine
+  FROM probes p JOIN sigs s ON p.sig = s.sig
+)
+SELECT qid, vec_id, round(cosine, 5) AS cosine, rank FROM (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 3, n_queries: int = 3) -> str:
     """DuckDB mirror of similarity.ivf_cosine_topk(lloyd_iters=0): seed
     centroids = the n_centroids lowest-vec_id embeddings (byte-identical rows
@@ -862,6 +920,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
         lsh = _rounded(similarity.lsh_cosine_topk(embs, qv, k=5, dim=64), "cosine", 5)
+        # multi-probe (r8): n_probe=3 exercises the margin-ranked mask
+        # enumeration (numpy stable argsort == SQL cost ASC, mask ASC)
+        lsh_mp = _rounded(
+            similarity.lsh_cosine_topk(embs, qv, k=5, dim=64, n_probe=3), "cosine", 5
+        )
         ivf = _rounded(
             similarity.ivf_cosine_topk(
                 embs, qv, k=5, n_centroids=8, n_probe=3, lloyd_iters=0
@@ -871,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             lsh.withColumn("method", F.lit("lsh"))
+            .unionByName(lsh_mp.withColumn("method", F.lit("lsh_mp")))
             .unionByName(ivf.withColumn("method", F.lit("ivf")))
             .select("method", "qid", "vec_id", "cosine", "rank")
         )
@@ -1224,6 +1288,9 @@ FROM db LEFT JOIN pb ON db.bucket = pb.bucket
         "ann_topk": f"""
 SELECT 'lsh' AS method, qid, vec_id, cosine, rank
 FROM ({_lsh_topk_sql(k=5, n_planes=8, dim=64, n_queries=3)})
+UNION ALL
+SELECT 'lsh_mp' AS method, qid, vec_id, cosine, rank
+FROM ({_lsh_mp_topk_sql(k=5, n_planes=8, dim=64, n_queries=3, n_probe=3)})
 UNION ALL
 SELECT 'ivf' AS method, qid, vec_id, cosine, rank
 FROM ({_ivf_topk_sql(k=5, n_centroids=8, n_probe=3, n_queries=3)})

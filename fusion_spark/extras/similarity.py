@@ -414,6 +414,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lsh_probe_sigs_udf(planes: list[list[float]], n_probe: int):
+    """Multi-probe LSH (Lv et al., VLDB'07) probe-signature generator:
+    a query's nearest neighbors that fall on the OTHER side of a low-margin
+    hyperplane live in the bucket whose signature flips that bit, so the
+    best n_probe buckets are base_sig XOR mask, ranked by the total
+    |margin| of the flipped planes. Exact enumeration (2^n_planes masks —
+    256 at the default 8 planes) vectorized per Arrow batch; mask 0 (cost
+    0) is always first, so probe_sigs[0] == lsh_signature(vec). Stable
+    sort on cost breaks ties by ascending mask for determinism."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.asarray(planes, dtype=np.float64)  # (B, dim)
+    B = P.shape[0]
+    n_probe = min(int(n_probe), 1 << B)
+    masks = np.arange(1 << B, dtype=np.int64)
+    bitmat = ((masks[:, None] >> np.arange(B)) & 1).astype(np.float64)  # (2^B, B)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_sigs(v: pd.Series) -> pd.Series:
+        M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
+        margins = M @ P.T  # (n, B)
+        base = ((margins >= 0).astype(np.int64) << np.arange(B)).sum(axis=1)
+        costs = np.abs(margins) @ bitmat.T  # (n, 2^B): flip cost per mask
+        order = np.argsort(costs, axis=1, kind="stable")[:, :n_probe]
+        sigs = base[:, None] ^ masks[order]
+        return pd.Series(list(sigs))
+
+    return probe_sigs
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit per hyperplane, packed into a long."""
     bits = []
@@ -468,21 +498,40 @@ def lsh_cosine_topk_store(
     path: str,
     queries: DataFrame,
     k: int = 10,
+    n_probe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """ANN top-k against a signature-partitioned store: query signatures are
     computed plan-side, `sig IN (...)` prunes whole partition DIRECTORIES
     before the parquet reader opens a file (PartitionFilters — asserted in
-    test_plans), then the usual bucket join + exact cosine + top-k."""
+    test_plans), then the usual bucket join + exact cosine + top-k.
+
+    `n_probe` > 1 switches to MULTI-PROBE (r8): each query also scans the
+    n_probe−1 next-likeliest buckets (base signature with its lowest-
+    |margin| plane bits flipped — `_lsh_probe_sigs_udf`). Measured at 10M
+    vectors: recall@10 0.167 → 0.227 → 0.300 → 0.419 for n_probe 1/2/4/8
+    at 0.43% → 3.4% of store bytes per query (BENCH.md r8) — a real knob,
+    though on cluster-structured embeddings the IVF store reaches 0.9953
+    at n_probe=1; LSH's niche is high-cosine near-dup lookup (top-1 hit
+    1.0 at every probe count). n_probe=2^B reads every bucket and equals
+    brute force exactly (tested)."""
     import json as _json
 
     with open(f"{path}/meta.json") as f:
         meta = _json.load(f)
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
-        "sig", lsh_signature(F.col("qvec"), planes)
-    )
+    qbase = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    if n_probe > 1:
+        probe_udf = _lsh_probe_sigs_udf(planes, n_probe)
+        # explode_outer + null-filter (repo explode rule): each (query,
+        # probed bucket) row joins its own partition; a (qid, doc) pair
+        # appears at most once since a doc lives in exactly one bucket
+        q = qbase.select(
+            "qid", "qvec", F.explode_outer(probe_udf(F.col("qvec"))).alias("sig")
+        ).filter(F.col("sig").isNotNull())
+    else:
+        q = qbase.withColumn("sig", lsh_signature(F.col("qvec"), planes))
     # collect-then-literal instead of persist: the query frame is small by
     # contract (it broadcasts below), and a persist here would leak cached
     # blocks in a long-lived driver (ADVICE r2) — one collect feeds both
@@ -567,16 +616,28 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures bucket the corpus;
     each query scans only its own bucket (≈ N/2^n_planes docs). At cluster
     scale the corpus side is written bucketed/partitioned by `sig` so a
-    query touches one partition (partition pruning), not the full table."""
+    query touches one partition (partition pruning), not the full table.
+    `n_probe` > 1 = multi-probe (see lsh_cosine_topk_store): the query also
+    scans the buckets whose signatures flip its lowest-|margin| plane bits
+    — recall@10 measured 0.167 → 0.419 at 10M vectors for n_probe 1 → 8
+    (BENCH.md r8 ANN table; on cluster-structured embeddings the IVF store
+    still dominates at the same read budget — LSH's niche is high-cosine
+    near-dup lookup, top-1 hit 1.0 at every probe count)."""
     planes = _hyperplanes(dim, n_planes)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("sig", lsh_signature(F.col("vec"), planes))
-    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")).withColumn(
-        "sig", lsh_signature(F.col("qvec"), planes)
-    )
+    qbase = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    if n_probe > 1:
+        probe_udf = _lsh_probe_sigs_udf(planes, n_probe)
+        q = qbase.select(
+            "qid", "qvec", F.explode_outer(probe_udf(F.col("qvec"))).alias("sig")
+        ).filter(F.col("sig").isNotNull())
+    else:
+        q = qbase.withColumn("sig", lsh_signature(F.col("qvec"), planes))
     return _cosine_topk_ranked(F.broadcast(q).join(corpus, "sig"), k)

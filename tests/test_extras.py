@@ -748,6 +748,51 @@ def test_duplicate_clusters_diameter_equals_budget_converges(spark):
         dedup.duplicate_clusters(chain, max_iters=3)
 
 
+def test_lsh_store_multiprobe(spark, tmp_path):
+    """Multi-probe LSH (r8): (a) the first probe signature equals the JVM
+    lsh_signature bit-for-bit; (b) probing ALL 2^B buckets equals brute
+    force exactly; (c) recall is monotone in n_probe on a clustered corpus
+    where single-probe provably misses cross-boundary neighbors."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # off-corpus queries = corpus vectors + noise: their true top-10 spans
+    # hyperplane boundaries, which is exactly what single-probe misses
+    qrows = [(i, [x + rng.uniform(-0.4, 0.4) for x in rows[i * 23][1]])
+             for i in range(16)]
+    qv = spark.createDataFrame(qrows, "qid long, qvec array<float>")
+    path = str(tmp_path / "lsh_mp")
+    similarity.write_lsh_store(embs, path, n_planes=4, dim=16)
+
+    planes = similarity._hyperplanes(16, 4, 42)
+    jvm_sig = {r["qid"]: r["s"] for r in qv.select(
+        "qid", similarity.lsh_signature(F.col("qvec"), planes).alias("s")).collect()}
+    first_probe = {r["qid"]: r["p"][0] for r in qv.select(
+        "qid", similarity._lsh_probe_sigs_udf(planes, 3)(F.col("qvec")).alias("p")
+    ).collect()}
+    assert first_probe == jvm_sig
+
+    key = lambda df: sorted((r["qid"], r["vec_id"], r["rank"]) for r in df.collect())  # noqa: E731
+    brute = key(similarity.cosine_topk(embs, qv, k=10))
+    assert key(similarity.lsh_cosine_topk_store(spark, path, qv, k=10, n_probe=16)) == brute
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        want: dict = {}
+        for q, v, _rk in brute:
+            want.setdefault(q, set()).add(v)
+        return sum(len(got.get(q, set()) & want[q]) / len(want[q]) for q in want) / len(want)
+
+    r1 = recall(similarity.lsh_cosine_topk_store(spark, path, qv, k=10, n_probe=1))
+    r4 = recall(similarity.lsh_cosine_topk_store(spark, path, qv, k=10, n_probe=4))
+    assert r1 < 1.0  # single probe must actually miss something here,
+    assert r4 >= r1  # ...and probing more buckets must not lose recall
+
+
 def test_duplicate_clusters_jump_policy_deep_chain(spark):
     """r8 long-chain insurance: a planted 50-deep path graph (diameter 50)
     — propagate needs >50 rounds and must fail LOUDLY on a 20-round budget;

@@ -182,34 +182,37 @@ def main():
         top1 = [bool(got.get(q)) and got[q][0] == truth[q][0] for q in truth]
         return round(float(np.mean(rec)), 4), round(float(np.mean(top1)), 4)
 
-    # ---- LSH store
-    lsh_sec, lsh_rows = run_latency(
-        lambda: similarity.lsh_cosine_topk_store(spark, f"{out_dir}/lsh", queries, k=10)
-    )
-    plan = similarity.lsh_cosine_topk_store(
-        spark, f"{out_dir}/lsh", queries, k=10
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan, "LSH store scan lost partition pruning"
+    # ---- LSH store, single- and multi-probe (r8)
     with open(f"{out_dir}/lsh/meta.json") as f:
         meta = json.load(f)
     planes = similarity._hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-    per_q_sigs = [
-        [str(r["sig"])] for r in queries.withColumn(
-            "sig", similarity.lsh_signature(F.col("qvec"), planes)).collect()
-    ]
-    qsigs = {s for sigs in per_q_sigs for s in sigs}
-    ft, bt, fk, bk, by_part = store_file_stats(f"{out_dir}/lsh/vectors", qsigs, "sig")
-    per_q_frac = float(np.mean(
-        [sum(by_part.get(s, 0) for s in sigs) / bt for sigs in per_q_sigs]))
-    rec, top1 = quality(lsh_rows)
-    report["runs"]["lsh_store"] = {
-        "sec": round(lsh_sec, 2), "ms_per_query": round(1000 * lsh_sec / 64, 1),
-        "sigs_probed": len(qsigs), "files_total": ft, "files_read": fk,
-        "bytes_total": bt, "bytes_read": bk,
-        "batch_bytes_read_frac": round(bk / bt, 4),
-        "per_query_bytes_read_frac": round(per_q_frac, 5),
-        "recall_at_10": rec, "top1_hit": top1,
-    }
+    for n_probe in (1, 2, 4, 8):
+        lsh_sec, lsh_rows = run_latency(
+            lambda: similarity.lsh_cosine_topk_store(
+                spark, f"{out_dir}/lsh", queries, k=10, n_probe=n_probe)
+        )
+        plan = similarity.lsh_cosine_topk_store(
+            spark, f"{out_dir}/lsh", queries, k=10, n_probe=n_probe
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, "LSH store scan lost partition pruning"
+        probe_udf = similarity._lsh_probe_sigs_udf(planes, n_probe)
+        per_q_sigs = [
+            [str(s) for s in r["p"]] for r in queries.select(
+                probe_udf(F.col("qvec")).alias("p")).collect()
+        ]
+        qsigs = {s for sigs in per_q_sigs for s in sigs}
+        ft, bt, fk, bk, by_part = store_file_stats(f"{out_dir}/lsh/vectors", qsigs, "sig")
+        per_q_frac = float(np.mean(
+            [sum(by_part.get(s, 0) for s in sigs) / bt for sigs in per_q_sigs]))
+        rec, top1 = quality(lsh_rows)
+        report["runs"][f"lsh_store_nprobe{n_probe}"] = {
+            "sec": round(lsh_sec, 2), "ms_per_query": round(1000 * lsh_sec / 64, 1),
+            "sigs_probed": len(qsigs), "files_total": ft, "files_read": fk,
+            "bytes_total": bt, "bytes_read": bk,
+            "batch_bytes_read_frac": round(bk / bt, 4),
+            "per_query_bytes_read_frac": round(per_q_frac, 5),
+            "recall_at_10": rec, "top1_hit": top1,
+        }
 
     # ---- IVF store at n_probe 1, 4, 8
     for n_probe in (1, 4, 8):
