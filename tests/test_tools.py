@@ -374,3 +374,50 @@ def test_lemma_irregulars_fixture_is_sound():
         assert v not in T, f"chain: {k} -> {v} -> {T.get(v)}"
     for ambiguous in ("better", "best", "left", "lay", "found", "ground"):
         assert ambiguous not in T
+
+
+# --------- bench_ann helpers (r8, back the 10M ANN BENCH claims) ----------
+
+_spec_ba = importlib.util.spec_from_file_location(
+    "bench_ann",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "bench_ann.py"),
+)
+bench_ann = importlib.util.module_from_spec(_spec_ba)
+_spec_ba.loader.exec_module(bench_ann)
+
+
+def test_bench_ann_generator_deterministic_and_clustered():
+    """The splitmix64 corpus is pure-function deterministic (same bytes at
+    any batching/partitioning — the property the 10M claims rest on) and
+    actually clustered: a vector sits nearest its own planted center."""
+    import numpy as np
+
+    keys = np.arange(100, dtype=np.uint64)
+    a = bench_ann._unit_noise(keys, 16)
+    b = bench_ann._unit_noise(keys.copy(), 16)
+    assert np.array_equal(a, b)
+    assert a.min() >= -1.0 and a.max() < 1.0
+    # batch-split invariance: rows depend only on the key
+    half = bench_ann._unit_noise(keys[37:53], 16)
+    assert np.array_equal(half, a[37:53])
+
+    C = bench_ann.centers_matrix(8, 16)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    ids = np.arange(40, dtype=np.uint64)
+    vecs = C[(ids % 8).astype(np.int64)] + 0.25 * bench_ann._unit_noise(ids, 16)
+    Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    assert np.array_equal((Vn @ C.T).argmax(axis=1), (ids % 8).astype(np.int64))
+
+
+def test_bench_ann_store_file_stats(tmp_path):
+    """Hive-layout accounting: totals, kept subset, per-partition bytes."""
+    for part, sizes in [("sig=3", [100, 50]), ("sig=7", [200]), ("sig=9", [400])]:
+        d = tmp_path / "vectors" / part
+        d.mkdir(parents=True)
+        for i, n in enumerate(sizes):
+            (d / f"part-{i}.parquet").write_bytes(b"x" * n)
+        (d / "_SUCCESS").write_bytes(b"")  # non-parquet ignored
+    ft, bt, fk, bk, by_part = bench_ann.store_file_stats(
+        str(tmp_path / "vectors"), {"3", "9"}, "sig")
+    assert (ft, bt, fk, bk) == (4, 750, 3, 550)
+    assert by_part == {"3": 150, "7": 200, "9": 400}
