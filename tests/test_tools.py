@@ -139,6 +139,34 @@ def test_audit_flags_task_skew(tmp_path):
     assert [f["rule"] for f in findings] == ["task-skew"]
     assert findings[0]["stage_id"] == 11
     assert findings[0]["p99_ms"] == 5_000
+    # every task read the same 1000 records → slow-but-not-data-skewed:
+    # the r9 classifier must call it a host straggler, not a hot key
+    assert findings[0]["classification"] == "straggler"
+    assert findings[0]["slow_task_records"] == 1000
+
+
+def test_audit_task_skew_classifies_hot_key(tmp_path):
+    """The planted one-giant-group shape: 19 tasks × 20k records at ~400 ms
+    and ONE task with 1M records at 9 s — slow BECAUSE of its data. The
+    classifier must emit hot_key (records 50× median ≥ the 3× boundary).
+    A stage with no record metrics at all classifies as unknown."""
+    events = (
+        [_task_end(21, run_ms=400, sh_read=20_000) for _ in range(19)]
+        + [_task_end(21, run_ms=9_000, sh_read=1_000_000)]
+        + [_stage_completed(21, 20, "applyInPandas giant group")]
+        # same timing shape, zero records everywhere → unknown
+        + [_task_end(22, run_ms=400) for _ in range(19)]
+        + [_task_end(22, run_ms=9_000)]
+        + [_stage_completed(22, 20, "pure compute stage")]
+    )
+    stages = audit_event_log.parse_event_log(_write_log(tmp_path, events))
+    findings = audit_event_log.audit_stages(stages)
+    assert [f["rule"] for f in findings] == ["task-skew", "task-skew"]
+    by_sid = {f["stage_id"]: f for f in findings}
+    assert by_sid[21]["classification"] == "hot_key"
+    assert by_sid[21]["slow_task_records"] == 1_000_000
+    assert by_sid[21]["median_records"] == 20_000
+    assert by_sid[22]["classification"] == "unknown"
 
 
 def _plan_smj(left_accum, right_accum, node="SortMergeJoin"):
@@ -266,6 +294,71 @@ def test_audit_smj_size_not_read_past_aggregates(tmp_path):
               _driver_accums(1, [[501, 500_000_000], [502, 120]])]
     parsed = audit_event_log.parse_event_log_full(_write_log(tmp_path, events))
     assert audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"]) == []
+
+
+def test_audit_smj_size_not_read_past_nested_joins(tmp_path):
+    """r9 ADVICE regression: "Sort" is a passthrough PREFIX, and
+    "SortMergeJoin"/"SortAggregate" start with it — so size lookup on an
+    outer join's input must STOP at a nested join/sort-aggregate instead of
+    descending into it and attributing a deep exchange's bytes to the outer
+    side. Shape: outer SMJ whose left side is itself an SMJ over two big
+    exchanges (500 MB each) and whose right side is a small 1 MB exchange.
+    The left side's size is unknowable (the inner join changed cardinality);
+    a buggy walk reads 500 MB for it and flags a broadcast miss."""
+    def exch(aid):
+        return {
+            "nodeName": "Exchange", "simpleString": "Exchange hashpartitioning",
+            "children": [], "metrics": [
+                {"name": "data size", "accumulatorId": aid, "metricType": "size"}],
+        }
+
+    inner_join = {
+        "nodeName": "SortMergeJoin",
+        "simpleString": "SortMergeJoin [k], [k], Inner",
+        "children": [exch(601), exch(602)], "metrics": [],
+    }
+    left_side = {"nodeName": "Sort", "simpleString": "Sort", "metrics": [],
+                 "children": [inner_join]}
+    right_side = {"nodeName": "Sort", "simpleString": "Sort", "metrics": [],
+                  "children": [exch(603)]}
+    plan = {
+        "nodeName": "AdaptiveSparkPlan", "simpleString": "AdaptiveSparkPlan",
+        "metrics": [],
+        "children": [{
+            "nodeName": "SortMergeJoin",
+            "simpleString": "SortMergeJoin [k], [k], Inner",
+            "children": [left_side, right_side], "metrics": [],
+        }],
+    }
+    events = [_sql_start(1, plan),
+              _driver_accums(1, [[601, 500_000_000], [602, 500_000_000],
+                                 [603, 1_000_000]])]
+    parsed = audit_event_log.parse_event_log_full(_write_log(tmp_path, events))
+    findings = audit_event_log.audit_sql_plans(parsed["plans"], parsed["accums"])
+    # the INNER join (both sides 500 MB) is clean; the OUTER join's left
+    # size is unknown → no finding at all. Before the fix this emitted a
+    # false broadcast-miss for the outer join (500 MB vs 1 MB).
+    assert findings == []
+    # SortAggregate must stop descent the same way (cardinality-changing)
+    agg_side = {"nodeName": "Sort", "simpleString": "Sort", "metrics": [],
+                "children": [{
+                    "nodeName": "SortAggregate",
+                    "simpleString": "SortAggregate(key=[qid])",
+                    "children": [exch(701)], "metrics": [],
+                }]}
+    plan2 = {
+        "nodeName": "AdaptiveSparkPlan", "simpleString": "AdaptiveSparkPlan",
+        "metrics": [],
+        "children": [{
+            "nodeName": "SortMergeJoin",
+            "simpleString": "SortMergeJoin [qid], [qid], LeftOuter",
+            "children": [right_side, agg_side], "metrics": [],
+        }],
+    }
+    events2 = [_sql_start(2, plan2),
+               _driver_accums(2, [[603, 1_000_000], [701, 500_000_000]])]
+    parsed2 = audit_event_log.parse_event_log_full(_write_log(tmp_path, events2))
+    assert audit_event_log.audit_sql_plans(parsed2["plans"], parsed2["accums"]) == []
 
 
 def test_audit_exit_code_clamped(tmp_path, monkeypatch):

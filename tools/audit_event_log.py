@@ -31,12 +31,19 @@ Rules (per completed stage, task metrics aggregated from TaskEnd events):
      regression. Both sides' sizes must be known and the other side must
      exceed the threshold (two tiny sides are a trivially cheap join).
 
-  D. task-duration skew (r8) — a completed stage with >= SKEW_MIN_TASKS
-     tasks whose p99 task run time is >= SKEW_X times the median (median
-     >= SKEW_MIN_MEDIAN_MS, p99 >= MIN_RUNTIME_MS): a hot key / unsplit
-     partition that per-stage record totals cannot show. One straggler
-     out of hundreds is exactly the shape that becomes the job's wall
-     clock at 1000 executors.
+  D. task-duration skew (r8; classified r9) — a completed stage with >=
+     SKEW_MIN_TASKS tasks whose p99 task run time is >= SKEW_X times the
+     median (median >= SKEW_MIN_MEDIAN_MS, p99 >= MIN_RUNTIME_MS): a hot
+     key / unsplit partition that per-stage record totals cannot show. One
+     straggler out of hundreds is exactly the shape that becomes the job's
+     wall clock at 1000 executors. Each finding carries a CLASSIFICATION
+     from the per-task record counts (the r8 manual triage, mechanized):
+     `hot_key` when the slow tasks also processed >= HOTKEY_RECORDS_X times
+     the stage's median records (data skew — salt the key / AQE skew-join),
+     `straggler` when they processed ~median records but ran slow anyway
+     (host steal time / IO stall — speculative execution territory, not a
+     partitioning bug), `unknown` when the stage reports no per-task record
+     metrics to compare (pure-compute stages).
 
 Thresholds are deliberately coarse: tiny driver-bounded stages legitimately
 run as one task (that is AQE doing its job on genuinely small work); only
@@ -52,7 +59,7 @@ uses fusion_spark.session.get_spark, e.g. the standing sf0.1 gate sweep:
 Usage: python tools/audit_event_log.py <eventlog-file-or-dir>...
            [--expand-x 10] [--min-records 10000] [--min-runtime-ms 2000]
            [--broadcast-threshold 10485760] [--skew-x 5]
-           [--json PATH]
+           [--hotkey-records-x 3] [--json PATH]
 Exit status: 0 = clean, else min(#findings, 125) — raw exit codes wrap
 mod 256, so a large finding count must not alias to 0 in a CI gate; the
 exact count lives in the JSON report.
@@ -73,6 +80,13 @@ BROADCAST_THRESHOLD = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold d
 SKEW_X = 5.0
 SKEW_MIN_TASKS = 10
 SKEW_MIN_MEDIAN_MS = 100
+# Straggler-vs-hot-key boundary: a slow task that also read this many times
+# the stage's median records is slow BECAUSE of its data (hot key); below it
+# the task did median work slowly (host straggler). 3× sits well clear of
+# both observed populations: the r8 12M-run stragglers read 0.9–1.1× median
+# records at 5–12× median time, while a genuinely hot key concentrates the
+# skew factor itself (>= SKEW_X = 5×) into one task's records.
+HOTKEY_RECORDS_X = 3.0
 
 _SQL_START = "org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart"
 _SQL_ADAPTIVE = "org.apache.spark.sql.execution.ui.SparkListenerSQLAdaptiveExecutionUpdate"
@@ -161,12 +175,15 @@ def parse_event_log_full(path: str) -> dict:
                 st["run_ms"] += run_ms
                 st["task_ms"].append(run_ms)
                 st["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
-                st["input_records"] += (m.get("Input Metrics") or {}).get(
-                    "Records Read", 0
-                )
-                st["shuffle_read_records"] += (m.get("Shuffle Read Metrics") or {}).get(
+                in_rec = (m.get("Input Metrics") or {}).get("Records Read", 0)
+                sr_rec = (m.get("Shuffle Read Metrics") or {}).get(
                     "Total Records Read", 0
                 )
+                st["input_records"] += in_rec
+                st["shuffle_read_records"] += sr_rec
+                # per-task consumed records (input + shuffle read), index-
+                # aligned with task_ms — rule D's straggler/hot_key evidence
+                st["task_records"].append(in_rec + sr_rec)
                 st["shuffle_write_records"] += (
                     m.get("Shuffle Write Metrics") or {}
                 ).get("Shuffle Records Written", 0)
@@ -193,6 +210,7 @@ def _empty_stage() -> dict:
         "shuffle_read_records": 0,
         "shuffle_write_records": 0,
         "task_ms": [],
+        "task_records": [],
     }
 
 
@@ -202,6 +220,7 @@ def audit_stages(
     min_records: int = MIN_RECORDS,
     min_runtime_ms: int = MIN_RUNTIME_MS,
     skew_x: float = SKEW_X,
+    hotkey_records_x: float = HOTKEY_RECORDS_X,
 ) -> list[dict]:
     findings = []
     for sid, st in sorted(stages.items()):
@@ -218,6 +237,34 @@ def audit_stages(
                 and p99 >= min_runtime_ms
                 and p99 >= skew_x * med
             ):
+                # classify from per-task records (index-aligned with task_ms):
+                # compare the slow tasks' record counts to the stage median —
+                # the r8 manual triage ("same records + slower = host
+                # straggler; record skew = hot key"), mechanized
+                recs = st["task_records"]
+                classification, slow_rec, rec_med = "unknown", None, None
+                if len(recs) == len(ts) and any(r > 0 for r in recs):
+                    rec_med = statistics.median(recs)
+                    slow_rec = max(
+                        (r for t, r in zip(ts, recs) if t >= p99), default=0
+                    )
+                    classification = (
+                        "hot_key"
+                        if slow_rec >= hotkey_records_x * max(rec_med, 1)
+                        else "straggler"
+                    )
+                remedy = {
+                    "hot_key": "salt the key or let AQE skew-join split it",
+                    "straggler": (
+                        "records match the median — a host/IO straggler, "
+                        "not a partitioning bug; speculative execution "
+                        "territory"
+                    ),
+                    "unknown": (
+                        "no per-task record metrics to classify; inspect "
+                        "the stage manually"
+                    ),
+                }[classification]
                 findings.append(
                     {
                         "rule": "task-skew",
@@ -226,11 +273,15 @@ def audit_stages(
                         "num_tasks": len(ts),
                         "median_ms": round(med, 1),
                         "p99_ms": p99,
+                        "classification": classification,
+                        "median_records": rec_med,
+                        "slow_task_records": slow_rec,
                         "detail": (
                             f"stage p99 task time {p99} ms is "
                             f"{p99 / med:.1f}x its median ({med:.0f} ms) over "
-                            f"{len(ts)} tasks — a hot key / unsplit partition; "
-                            "salt the key or let AQE skew-join split it"
+                            f"{len(ts)} tasks [{classification}: slow task "
+                            f"read {slow_rec} records vs median {rec_med}] — "
+                            f"{remedy}"
                         ),
                     }
                 )
@@ -294,6 +345,16 @@ _SIZE_PASSTHROUGH_PREFIXES = (
     "WholeStageCodegen", "InputAdapter", "ColumnarToRow",
 )
 
+# Cardinality-CHANGING nodes whose names collide with a passthrough prefix
+# (r9 ADVICE: "Sort" matches SortMergeJoin/SortAggregate, so a nested SMJ's
+# deep exchange bytes could be attributed to the outer join's input — the
+# exact misattribution rule C's passthrough list exists to prevent). Checked
+# BEFORE the passthrough test: descent stops here unconditionally.
+_SIZE_STOP_PREFIXES = (
+    "SortMergeJoin", "SortAggregate", "SortedAggregate",
+    "ShuffledHashJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+)
+
 
 def _subtree_size_bytes(node: dict, accums: dict[int, int]) -> int | None:
     """Materialized byte size of a join input: BFS for the nearest node
@@ -311,7 +372,10 @@ def _subtree_size_bytes(node: dict, accums: dict[int, int]) -> int | None:
                     v = accums.get(m.get("accumulatorId"))
                     if v is not None:
                         return v
-            if str(n.get("nodeName", "")).startswith(_SIZE_PASSTHROUGH_PREFIXES):
+            name = str(n.get("nodeName", ""))
+            if not name.startswith(_SIZE_STOP_PREFIXES) and name.startswith(
+                _SIZE_PASSTHROUGH_PREFIXES
+            ):
                 nxt.extend(n.get("children") or [])
         queue = nxt
     return None
@@ -370,6 +434,7 @@ def main() -> int:
     ap.add_argument("--min-runtime-ms", type=int, default=MIN_RUNTIME_MS)
     ap.add_argument("--broadcast-threshold", type=int, default=BROADCAST_THRESHOLD)
     ap.add_argument("--skew-x", type=float, default=SKEW_X)
+    ap.add_argument("--hotkey-records-x", type=float, default=HOTKEY_RECORDS_X)
     ap.add_argument("--json", dest="json_path", default=None)
     args = ap.parse_args()
 
@@ -383,7 +448,7 @@ def main() -> int:
         n_stages += sum(1 for s in stages.values() if s["completed"])
         for f in audit_stages(
             stages, args.expand_x, args.min_records, args.min_runtime_ms,
-            args.skew_x,
+            args.skew_x, args.hotkey_records_x,
         ) + audit_sql_plans(
             parsed["plans"], parsed["accums"], args.broadcast_threshold
         ):
