@@ -621,13 +621,20 @@ def sessionize_stream_auto(
     receives {route, n_users, n_buckets, pinned} for observability."""
     from pyspark.errors import AnalysisException
 
-    pin = _read_route_pin(spark, checkpoint_dir)
-    if pin is not None and not _checkpoint_has_commits(spark, checkpoint_dir):
-        # The pin was written by a run that never committed a batch (e.g. it
-        # picked per_user off an empty/missing landing dir and then failed to
-        # start). The state store is still empty, so no state/key
-        # incompatibility exists yet — re-decide from current data and let
-        # the decision below overwrite the stale pin.
+    # Staleness FIRST, read second (r9 ADVICE): when the checkpoint has no
+    # committed batch, ANY pin is pre-commit insurance with an empty state
+    # store behind it — including one truncated by a crash mid-write, the
+    # precise scenario the atomic writer guards against. Reading such a pin
+    # before the staleness check would hard-fail on the corruption and
+    # demand a manual delete even though the no-commits path safely
+    # re-decides and overwrites it. Only a COMMITTED checkpoint's pin is
+    # load-bearing, so only there does a corrupt pin raise.
+    if _checkpoint_has_commits(spark, checkpoint_dir):
+        pin = _read_route_pin(spark, checkpoint_dir)
+    else:
+        # state store is empty → no state/key incompatibility exists yet;
+        # re-decide from current data and let the decision below overwrite
+        # whatever pin (valid, corrupt, or absent) is on disk
         pin = None
     if pin is not None:
         if route_out is not None:

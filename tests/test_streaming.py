@@ -509,6 +509,44 @@ def test_sessionize_stream_auto_pins_route_on_checkpoint(spark, tmp_path):
     assert route4["route"] == "bucketed" and route4["pinned"] is False
 
 
+def test_sessionize_stream_auto_corrupt_precommit_pin_is_overwritten(
+    spark, tmp_path
+):
+    """r9 ADVICE: a pin truncated by a crash BEFORE the first commit — the
+    exact scenario the atomic writer is insurance for — must not hard-fail
+    and demand a manual delete. With no committed batch the state store is
+    empty, so the router never reads the corrupt bytes: it re-decides from
+    current data and overwrites the pin. The same corrupt pin WITH a
+    committed batch still raises (that pin is load-bearing)."""
+    import json as _json
+    import shutil
+
+    from fusion_spark.streaming import sessionize_stream_auto
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", landing / "a.parquet")
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "_fusion_route.json").write_text('{"route": "bucke')  # truncated
+
+    route: dict = {}
+    sessionize_stream_auto(
+        spark, str(landing), str(ckpt), n_users=50_000, route_out=route
+    )
+    assert route["route"] == "bucketed" and route["pinned"] is False
+    refreshed = _json.loads((ckpt / "_fusion_route.json").read_text())
+    assert refreshed["route"] == "bucketed"
+
+    # committed checkpoint + corrupt pin = real corruption → still loud
+    ckpt2 = tmp_path / "ckpt2"
+    (ckpt2 / "commits").mkdir(parents=True)
+    (ckpt2 / "commits" / "0").write_text("v1")
+    (ckpt2 / "_fusion_route.json").write_text('{"route": "bucke')
+    with pytest.raises(ValueError, match="_fusion_route.json"):
+        sessionize_stream_auto(spark, str(landing), str(ckpt2), n_users=50_000)
+
+
 def test_route_pin_corrupt_or_invalid_raises_clearly(spark, tmp_path):
     """r7 advice: a truncated pin (crash mid-write of the OLD non-atomic
     writer, or a hand edit) must fail with an error naming the pin file and
