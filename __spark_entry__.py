@@ -288,7 +288,15 @@ def _lsh_mp_topk_sql(
     enumeration of all 2^n_planes flip masks, probe set = the n_probe
     cheapest masks (total |margin| of flipped planes ASC, mask ASC — the
     numpy stable-argsort tie rule), probed buckets joined on signature,
-    exact cosine + (cosine DESC, vec_id ASC) top-k."""
+    exact cosine + (cosine DESC, vec_id ASC) top-k.
+
+    Cost-parity contract (r9 ADVICE): the CASE chain below sums plane terms
+    left-to-right in ascending plane order, and the Spark UDF accumulates
+    its costs the same way (sequential per-plane adds, not one BLAS matmul
+    — similarity._lsh_probe_sigs_udf), so a near-tie in flip cost at the
+    n_probe boundary resolves identically on both sides. Residual float
+    assumption: the margins themselves (one dot product per plane) must
+    agree to the last ulp between numpy and list_dot_product."""
     from fusion_spark.extras.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes)

@@ -132,6 +132,7 @@ def auto_segment_size(
     target_postings_per_block: int = 64,
     lo: int = 1 << 12,
     hi: int = 1 << 22,
+    id_range: int | None = None,
 ) -> int:
     """Pick the smallest power-of-two segment size whose EXPECTED mean
     postings-per-block reaches `target_postings_per_block` — the r7
@@ -141,21 +142,31 @@ def auto_segment_size(
     "tens-to-hundreds per block" is where compression has flattened but a
     segment skip still prunes usefully fine-grained doc ranges).
 
-    Model: with docs spread uniformly over n_segments = ceil(n_docs/S),
+    Model: with docs spread uniformly over n_segments = ceil(id_range/S),
     a term of document frequency df touches ≈ min(df, n_segments) segments
     (rare term → every posting its own block; hot term → every segment),
     so blocks(S) ≈ Σ_t min(df_t, n_segments) and mean postings/block =
     Σ df / blocks(S). All candidate S are evaluated in ONE vocab-sized
-    aggregate over termstats (no postings pass)."""
+    aggregate over termstats (no postings pass).
+
+    `id_range` = max(doc_id)+1. Segments are DOC-ID-range shards
+    (doc_id div S), so the segment count is id_range/S, not n_docs/S —
+    with sparse or hashed doc_ids the two differ by orders of magnitude
+    and the n_docs model undercounts blocks, picking an S too small
+    (per-block metadata overhead — the regime this function exists to
+    avoid; r9 ADVICE). Defaults to n_docs, which is exact only for DENSE
+    ids in [0, n_docs); pack_index's "auto" path passes the real range
+    from one docstats max()."""
     import math
 
+    span = max(int(id_range if id_range is not None else n_docs), 1)
     cands = []
     s = lo
     while s <= hi:
         cands.append(s)
         s <<= 1
     aggs = [
-        F.sum(F.least(F.col("df"), F.lit(int(math.ceil(n_docs / c))))).alias(f"b{i}")
+        F.sum(F.least(F.col("df"), F.lit(int(math.ceil(span / c))))).alias(f"b{i}")
         for i, c in enumerate(cands)
     ] + [F.sum("df").alias("p")]
     row = termstats.agg(*aggs).collect()[0]
@@ -185,10 +196,37 @@ def pack_shuffle_partitions(
     return min(max(p, cores * 2), 65_536)
 
 
+def _resolve_pack_params(
+    index: BM25Index,
+    segment_size: int | str,
+    num_partitions: int | str | None,
+) -> tuple[int, int | None]:
+    """Shared "auto" resolution for pack_index/PackedIndex.from_index.
+    segment_size="auto" → `auto_segment_size` over the REAL doc-id range
+    (one docstats max — doc ids need not be dense; r9 ADVICE) plus one
+    vocab-sized aggregate. num_partitions="auto" (the default since r9)
+    → `pack_shuffle_partitions` from the postings count (Σdf, one
+    vocab-sized aggregate) at the session's core count — ~1.5M
+    postings/task so each pack task's materialized partition fits a
+    4g-core executor share at any corpus size."""
+    if segment_size == "auto":
+        mx = index.docstats.agg(F.max("doc_id")).collect()[0][0]
+        id_range = (int(mx) + 1) if mx is not None else index.n_docs
+        segment_size = auto_segment_size(
+            index.termstats, index.n_docs, id_range=id_range
+        )
+    segment_size = int(segment_size)
+    if num_partitions == "auto":
+        n_postings = int(index.termstats.agg(F.sum("df")).collect()[0][0] or 0)
+        cores = index.postings.sparkSession.sparkContext.defaultParallelism
+        num_partitions = pack_shuffle_partitions(n_postings, cores=cores)
+    return segment_size, (None if num_partitions is None else int(num_partitions))
+
+
 def pack_index(
     index: BM25Index,
     segment_size: int | str = 1 << 20,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Postings → packed blocks: repartition co-locates every (term, segment)
     group, then ONE vectorized pass per partition builds all of its blocks.
@@ -213,15 +251,17 @@ def pack_index(
     are rejected at pack time (div truncates ≠ floors below zero).
 
     `segment_size="auto"` derives the size from the index's own term-df
-    distribution via `auto_segment_size` (one vocab-sized aggregate).
-    `num_partitions` bounds per-task memory: each pack task materializes
-    its whole shuffle partition (~40-60 bytes/posting in pandas/numpy), so
-    size it from the postings count — `pack_shuffle_partitions` encodes
-    ~1.5M postings/task; None keeps the session shuffle-partition default
-    (fine to ~10^8 postings at 64 partitions / 4g-core executors)."""
-    if segment_size == "auto":
-        segment_size = auto_segment_size(index.termstats, index.n_docs)
-    segment_size = int(segment_size)
+    distribution via `auto_segment_size` over the real doc-id range (one
+    vocab-sized aggregate + one docstats max). `num_partitions` bounds
+    per-task memory: each pack task materializes its whole shuffle
+    partition (~40-60 bytes/posting in pandas/numpy), so it is sized from
+    the postings count — the default "auto" applies
+    `pack_shuffle_partitions` (~1.5M postings/task); None keeps the
+    session shuffle-partition default (fine to ~10^8 postings at 64
+    partitions / 4g-core executors); an int pins it."""
+    segment_size, num_partitions = _resolve_pack_params(
+        index, segment_size, num_partitions
+    )
     p = index.postings.withColumn(
         "segment", F.expr(f"doc_id div {int(segment_size)}")
     )
@@ -308,11 +348,11 @@ class PackedIndex:
         cls,
         index: BM25Index,
         segment_size: int | str = 1 << 20,
-        num_partitions: int | None = None,
+        num_partitions: int | str | None = "auto",
     ) -> "PackedIndex":
-        if segment_size == "auto":
-            segment_size = auto_segment_size(index.termstats, index.n_docs)
-        segment_size = int(segment_size)
+        segment_size, num_partitions = _resolve_pack_params(
+            index, segment_size, num_partitions
+        )
         return cls(
             blocks=pack_index(index, segment_size, num_partitions=num_partitions),
             termstats=index.termstats,
@@ -351,14 +391,25 @@ class PackedIndex:
         )
 
 
-def merge_packed(spark: SparkSession, paths: list[str]) -> PackedIndex:
+def merge_packed(
+    spark: SparkSession, paths: list[str], check_disjoint: bool = True
+) -> PackedIndex:
     """Merge stage: union several per-partition packed segment stores (e.g.
     one per ingest shard / per bucketed build) into one queryable posting
     store. Requires disjoint doc_id ranges across stores (each doc indexed
     exactly once) and identical segment_size/variant. df is re-summed per
     term (exact under disjointness), idf recomputed against the merged N,
     avgdl merged as the doc-count-weighted mean — identical to a monolithic
-    build over the union."""
+    build over the union.
+
+    `check_disjoint` (default on) enforces the disjointness precondition at
+    SEGMENT granularity: each store's [min(segment), max(segment)] interval
+    must not overlap any other's (one metadata-column aggregate per store —
+    no blob decode). A shared doc_id across stores would double-count df
+    and emit two score rows per (qid, doc) in WAND, silently. The check is
+    conservative: shards with legitimately INTERLEAVED (still disjoint)
+    doc_ids can share segments — pass check_disjoint=False for those, with
+    the burden of the doc-level guarantee on the caller."""
     import json as _json
 
     from fusion_spark.indexing import idf_expr
@@ -371,6 +422,27 @@ def merge_packed(spark: SparkSession, paths: list[str]) -> PackedIndex:
     var = {m["variant"] for m in metas}
     if len(seg) != 1 or len(var) != 1:
         raise ValueError(f"incompatible stores: segment_sizes={seg}, variants={var}")
+    if check_disjoint:
+        spans = []
+        for p in paths:
+            row = (
+                spark.read.parquet(f"{p}/blocks")
+                .agg(F.min("segment").alias("lo"), F.max("segment").alias("hi"))
+                .collect()[0]
+            )
+            if row["lo"] is not None:
+                spans.append((row["lo"], row["hi"], p))
+        spans.sort()
+        for (_, hi_a, p_a), (lo_b, _, p_b) in zip(spans, spans[1:]):
+            if lo_b <= hi_a:
+                raise ValueError(
+                    "merge_packed: stores have OVERLAPPING doc_id segment "
+                    f"ranges — {p_a} ends at segment {hi_a} but {p_b} starts "
+                    f"at {lo_b}. Each doc must be indexed in exactly ONE "
+                    "store (shared docs double-count df and duplicate WAND "
+                    "score rows). If the shards' doc_ids are interleaved but "
+                    "genuinely disjoint, pass check_disjoint=False."
+                )
     n_docs = sum(m["n_docs"] for m in metas)
     avgdl = (
         sum(m["n_docs"] * m["avgdl"] for m in metas) / n_docs if n_docs else 0.0
@@ -431,7 +503,24 @@ def wand_search(
         packed.termstats.select("term", "idf"), "term"
     ).persist()
     try:
-        qids_all = sorted(r["qid"] for r in qterms.select("qid").distinct().collect())
+        # BOUNDED census (r9 verdict #7): the distinct-qid collect is the
+        # first place a miswired 10^8-row "query" frame would land on the
+        # driver — limit() caps it at one row past the largest batch this
+        # path can legally serve, so the contract violation fails fast with
+        # a named error instead of an OOM mid-collect.
+        cap = max_queries_per_chunk * max_chunks_per_plan
+        qid_rows = qterms.select("qid").distinct().limit(cap + 1).collect()
+        if len(qid_rows) > cap:
+            raise ValueError(
+                f"wand_search: query batch exceeds {cap} distinct qids "
+                f"(max_queries_per_chunk={max_queries_per_chunk} × "
+                f"max_chunks_per_plan={max_chunks_per_plan}) — the WAND path "
+                "ships query-term tables through the driver by contract and "
+                "cannot serve dense offline batches; route them through "
+                "scoring.search / scoring.search_auto (one join plan), or "
+                "raise the limits deliberately"
+            )
+        qids_all = sorted(r["qid"] for r in qid_rows)
         if len(qids_all) > max_queries_per_chunk:
             from functools import reduce
 

@@ -401,6 +401,24 @@ def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
     )
 
 
+def _collect_bounded(df: DataFrame, cap: int, what: str) -> list:
+    """Driver-collect with a loud smallness-contract guard (r9 verdict #7):
+    the store readers ship the query batch through the driver by design (it
+    broadcasts into the bucket join), so a miswired huge frame must fail
+    fast with the contract named — limit(cap+1) means at most cap+1 rows
+    ever reach the driver, not the whole frame."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: query frame exceeds max_query_rows={cap} rows after "
+            "probe expansion. The ANN store readers collect the query batch "
+            "to the driver by contract (it broadcasts into the partition-"
+            "pruned bucket join) — a frame this size is a corpus, not a "
+            "query batch. Split it, or raise max_query_rows deliberately."
+        )
+    return rows
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits — no RNG state, identical
     on every executor/run."""
@@ -422,21 +440,37 @@ def _lsh_probe_sigs_udf(planes: list[list[float]], n_probe: int):
     |margin| of the flipped planes. Exact enumeration (2^n_planes masks —
     256 at the default 8 planes) vectorized per Arrow batch; mask 0 (cost
     0) is always first, so probe_sigs[0] == lsh_signature(vec). Stable
-    sort on cost breaks ties by ascending mask for determinism."""
+    sort on cost breaks ties by ascending mask for determinism.
+
+    Flip costs are accumulated SEQUENTIALLY in ascending plane order (not
+    one BLAS matmul, whose accumulation order is implementation-defined):
+    the driver-gate oracle replays the same sum as a left-to-right CASE
+    chain in SQL, and a near-tie at the n_probe boundary must resolve the
+    same way on every platform/BLAS build (r9 ADVICE). Remaining float-tie
+    assumption: the per-plane MARGINS themselves (one dot product each)
+    are still one matmul here vs list_dot_product in DuckDB — a last-ulp
+    margin difference could in principle flip a cost near-tie; unobserved
+    in practice, and the probe rule is deterministic GIVEN the margins."""
     from pyspark.sql.types import ArrayType, LongType
 
     P = np.asarray(planes, dtype=np.float64)  # (B, dim)
     B = P.shape[0]
     n_probe = min(int(n_probe), 1 << B)
     masks = np.arange(1 << B, dtype=np.int64)
-    bitmat = ((masks[:, None] >> np.arange(B)) & 1).astype(np.float64)  # (2^B, B)
+    bit_on = [((masks >> b) & 1).astype(bool) for b in range(B)]  # per plane
 
     @F.pandas_udf(ArrayType(LongType()))
     def probe_sigs(v: pd.Series) -> pd.Series:
         M = np.stack(v.map(np.asarray).to_numpy()).astype(np.float64)
         margins = M @ P.T  # (n, B)
         base = ((margins >= 0).astype(np.int64) << np.arange(B)).sum(axis=1)
-        costs = np.abs(margins) @ bitmat.T  # (n, 2^B): flip cost per mask
+        # flip cost per mask, one plane at a time in ascending plane order:
+        # costs[:, m] = ((|m0| + |m1|) + |m2|) + ... over m's set bits — the
+        # exact left fold the SQL oracle's CASE chain performs
+        costs = np.zeros((M.shape[0], 1 << B), dtype=np.float64)
+        absm = np.abs(margins)
+        for b in range(B):
+            costs[:, bit_on[b]] += absm[:, b : b + 1]
         order = np.argsort(costs, axis=1, kind="stable")[:, :n_probe]
         sigs = base[:, None] ^ masks[order]
         return pd.Series(list(sigs))
@@ -501,6 +535,7 @@ def lsh_cosine_topk_store(
     n_probe: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """ANN top-k against a signature-partitioned store: query signatures are
     computed plan-side, `sig IN (...)` prunes whole partition DIRECTORIES
@@ -535,8 +570,9 @@ def lsh_cosine_topk_store(
     # collect-then-literal instead of persist: the query frame is small by
     # contract (it broadcasts below), and a persist here would leak cached
     # blocks in a long-lived driver (ADVICE r2) — one collect feeds both
-    # the sig set and the join side
-    qrows = q.collect()
+    # the sig set and the join side; bounded so a miswired 10^8-row frame
+    # fails fast instead of OOMing the driver (r9 verdict #7)
+    qrows = _collect_bounded(q, max_query_rows, "lsh_cosine_topk_store")
     qsigs = sorted({r["sig"] for r in qrows})
     q_lit = spark.createDataFrame(qrows, q.schema)
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("sig").isin(qsigs))
@@ -583,6 +619,7 @@ def ivf_cosine_topk_store(
     n_probe: int = 4,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF top-k against a centroid-partitioned store: probe assignment via
     the vectorized UDF, the probe SET (≤ n_centroids ids, independent of
@@ -598,8 +635,9 @@ def ivf_cosine_topk_store(
         "qid", "qvec", F.explode_outer(probe_ids(F.col("qvec"))).alias("centroid")
     ).filter(F.col("centroid").isNotNull())
     # collect-then-literal instead of persist (see lsh_cosine_topk_store):
-    # one collect feeds both the probe set and the broadcast join side
-    prows = probes.collect()
+    # one collect feeds both the probe set and the broadcast join side;
+    # bounded against miswired huge frames (r9 verdict #7)
+    prows = _collect_bounded(probes, max_query_rows, "ivf_cosine_topk_store")
     probe_set = sorted({r["centroid"] for r in prows})
     probes_lit = spark.createDataFrame(prows, probes.schema)
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe_set))

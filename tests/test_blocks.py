@@ -414,3 +414,106 @@ def test_pack_num_partitions_identical_blocks(spark, docs_df):
     assert pack_shuffle_partitions(99_200_000, cores=8) == 64
     assert pack_shuffle_partitions(1_000, cores=8) == 16      # cores*2 floor
     assert pack_shuffle_partitions(10**12, cores=8) == 65_536  # cap
+
+
+def test_pack_num_partitions_auto_default(spark, docs_df):
+    """num_partitions defaults to "auto" (r9 verdict #1): resolution applies
+    pack_shuffle_partitions to the real postings count at the session's
+    parallelism, and the auto default's blocks are byte-identical to an
+    explicit count (layout-only knob)."""
+    from fusion_spark.blocks import (
+        _resolve_pack_params, pack_index, pack_shuffle_partitions,
+    )
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    n_post = idx.postings.count()
+    cores = spark.sparkContext.defaultParallelism
+    _, resolved = _resolve_pack_params(idx, 16, "auto")
+    assert resolved == pack_shuffle_partitions(n_post, cores=cores)
+
+    def blobs(df):
+        return sorted(
+            (r["term"], r["segment"], bytes(r["doc_blob"]), bytes(r["tf_blob"]))
+            for r in df.collect()
+        )
+
+    assert blobs(pack_index(idx, segment_size=16)) == blobs(
+        pack_index(idx, segment_size=16, num_partitions=resolved)
+    )
+
+
+def test_auto_segment_size_sparse_ids_uses_id_range(spark):
+    """r9 ADVICE: segments shard the doc-ID RANGE, not the doc count — with
+    sparse ids (e.g. shard offsets, hashed ids) the model must count
+    segments as id_range/S or it undercounts blocks and picks S too small.
+    Same df distribution, ids spread 1000× wider → strictly larger S; and
+    from_index(segment_size="auto") resolves through the real max(doc_id)."""
+    from pyspark.sql import functions as F
+
+    from fusion_spark.blocks import auto_segment_size
+
+    rows = [(f"r{i}", 2, 0.1) for i in range(100)] + [("hot", 50_000, 0.1)]
+    ts = spark.createDataFrame(rows, "term string, df long, idf double")
+    n_docs = 1_000_000
+    dense = auto_segment_size(ts, n_docs)
+    sparse = auto_segment_size(ts, n_docs, id_range=1000 * n_docs)
+    assert sparse > dense
+
+    # end-to-end: same corpus, ids dilated ×64 — the auto pack must resolve
+    # a segment size ≥ the dense corpus's (range grew, postings didn't)
+    docs = spark.range(0, 2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    dense_idx = build_index(docs, doc_id_col="doc_id", text_col="text")
+    dilated = docs.withColumn("doc_id", F.col("doc_id") * 64)
+    sparse_idx = build_index(dilated, doc_id_col="doc_id", text_col="text")
+    p_dense = PackedIndex.from_index(dense_idx, segment_size="auto")
+    p_sparse = PackedIndex.from_index(sparse_idx, segment_size="auto")
+    assert p_sparse.segment_size >= p_dense.segment_size
+
+    # the property the range model buys: the sparse store's ACHIEVED mean
+    # postings/block still reaches the target (64). The dense model would
+    # have kept the dense corpus's S and realized ~9 postings/block here
+    # (64× more segments than it modelled — the metadata-overhead regime).
+    def mean_ppb(p):
+        import pyspark.sql.functions as SF
+        r = p.blocks.agg(
+            SF.sum("n_docs").alias("p"), SF.count("*").alias("b")
+        ).collect()[0]
+        return r["p"] / r["b"]
+
+    assert mean_ppb(p_sparse) >= 64
+
+
+def test_merge_packed_rejects_overlapping_doc_ranges(spark, docs_df, tmp_path):
+    """r9 verdict #2: merge_packed's disjointness precondition is enforced —
+    two stores packing the SAME doc range raise a loud error at segment
+    granularity; check_disjoint=False remains the documented escape hatch
+    for interleaved-but-disjoint shards (caller's burden)."""
+    from fusion_spark.blocks import merge_packed
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    p = PackedIndex.from_index(idx, segment_size=16)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    p.write(a)
+    p.write(b)
+    with pytest.raises(ValueError, match="OVERLAPPING"):
+        merge_packed(spark, [a, b])
+    forced = merge_packed(spark, [a, b], check_disjoint=False)
+    assert forced.n_docs == 2 * idx.n_docs
+
+
+def test_wand_census_collect_is_bounded(spark, docs_df):
+    """r9 verdict #7: the distinct-qid census must not collect an unbounded
+    frame — above max_queries_per_chunk × max_chunks_per_plan the call
+    fails fast with the contract named (and the limit() means at most
+    cap+1 qids ever reached the driver)."""
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    packed = PackedIndex.from_index(idx, segment_size=16)
+    vocab = [r["term"] for r in idx.termstats.limit(3).collect()]
+    qs = spark.createDataFrame(
+        [(i, vocab[i % len(vocab)]) for i in range(5)], "qid long, question string"
+    )
+    with pytest.raises(ValueError, match="distinct qids"):
+        wand_search(packed, qs, k=2, max_queries_per_chunk=2, max_chunks_per_plan=2)

@@ -792,6 +792,20 @@ def test_lsh_store_multiprobe(spark, tmp_path):
     assert r1 < 1.0  # single probe must actually miss something here,
     assert r4 >= r1  # ...and probing more buckets must not lose recall
 
+    # r9 verdict #7: the store readers collect the query batch by contract;
+    # a frame past max_query_rows must fail fast with the contract named
+    # (16 queries × 4 probes = 64 rows > 8)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.lsh_cosine_topk_store(
+            spark, path, qv, k=10, n_probe=4, max_query_rows=8
+        )
+    ivf_path = str(tmp_path / "ivf_guard")
+    similarity.write_ivf_store(embs, ivf_path, n_centroids=4)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.ivf_cosine_topk_store(
+            spark, ivf_path, qv, k=10, n_probe=2, max_query_rows=8
+        )
+
 
 def test_duplicate_clusters_jump_policy_deep_chain(spark):
     """r8 long-chain insurance: a planted 50-deep path graph (diameter 50)
