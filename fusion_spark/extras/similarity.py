@@ -98,17 +98,54 @@ def cosine_topk(
     return _cosine_topk_ranked(joined, k)
 
 
+def auto_n_centroids(
+    n_vectors: int,
+    target_list_rows: int = 10_000,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Inverted-list count from the corpus size (the auto_segment_size
+    pattern, r9 verdict #4): nearest power of two to
+    n_vectors / target_list_rows, clamped.
+
+    The cost model for a DIRECTORY-partitioned store: a query reads
+    n_probe · N/C rows, so bigger C reads less per probe — but each list is
+    one partition directory, and below ~10k rows a list's parquet file
+    drops under ~1-2 MB (small-file and listing overhead), while recall at
+    a FIXED probe count falls as lists get finer. ~10k rows/list keeps
+    files MB-sized at any N and, measured at 10M messy vectors (BENCH.md
+    r9), lands the recall/cost point within the hand-tuned sweep's best.
+    The hi clamp bounds directory count (file-listing cost) — beyond it,
+    shard the store rather than splitting lists finer."""
+    import math
+
+    raw = max(n_vectors / max(target_list_rows, 1), 1)
+    c = 2 ** round(math.log2(raw))
+    return int(min(max(c, lo), hi))
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
+    train_fraction: float | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF 'training': seed centroids = the n lowest vec_ids
     (deterministic, no RNG), refined by `lloyd_iters` k-means steps computed
     distributedly (assignment via Arrow UDF, new centroids via groupBy mean).
-    Centroid count is small by design — they broadcast by closure."""
+    Centroid count is small by design — they broadcast by closure.
+
+    `train_fraction` trains on a uniform sample (seed-pinned) instead of
+    the full corpus — the standard IVF economy: centroid quality needs
+    ~10³-10⁴ vectors per centroid, not the whole 10⁷-row corpus, and each
+    Lloyd step costs one assignment pass + one per-dimension mean over
+    whatever frame trains. At 10M×64 dims a full step aggregates 640M
+    (centroid, dim, x) rows; a 10% sample cuts the step 10× with
+    near-identical centroids (BENCH.md r9 messy-mixture run)."""
+    if train_fraction is not None:
+        embeddings = embeddings.sample(fraction=float(train_fraction), seed=42)
     cents = [
         list(r["v"])
         for r in embeddings.select(F.col(vec_col).alias("v"))
@@ -478,6 +515,163 @@ def _lsh_probe_sigs_udf(planes: list[list[float]], n_probe: int):
     return probe_sigs
 
 
+def _multiprobe_capture_curve(
+    qvecs: np.ndarray, planes: list[list[float]], neighbor_cosine: float
+) -> np.ndarray:
+    """Estimated recall of multi-probe LSH as a function of n_probe, from
+    the query batch's own margin distribution — NO labels (r9 verdict #5).
+
+    Model (Lv et al. VLDB'07 §3.2, specialized to random-hyperplane cosine
+    LSH): write a neighbor of q at angle θ as x = cosθ·q̂ + sinθ·u with u a
+    random unit vector ⊥ q̂. Its projection on plane p is
+    cosθ·(q̂·p) + sinθ·(u·p), and u·p ≈ N(0, ‖p‖²/d), so plane b flips sign
+    with probability p_b = Φ(−r_b / tanθ) where r_b = |margin_b| / (‖q‖·σ_b)
+    and σ_b = ‖p‖/√d (≡ 1 for the ±1 planes used here). Treating planes as
+    independent (they are, asymptotically, for random hyperplanes), the
+    neighbor lands in bucket base_sig XOR m with probability
+    Π_b p_b^{m_b} (1−p_b)^{1−m_b} — so the recall of probing the n cheapest
+    masks is the cumulative probability they capture, averaged over queries.
+
+    Returns capture[n] for n = 1..2^B (capture[-1] == 1 exactly: probing
+    every bucket IS brute force). Masks are ranked by the SAME sequential
+    flip-cost rule the probe UDF executes, so the estimate scores the probe
+    sets the query will actually read — not the (slightly better)
+    probability-ranked sets the model itself would pick.
+
+    `neighbor_cosine` may be a scalar (one hypothesized neighbor angle) or
+    an iterable (e.g. the per-rank mean cosines of the top-k — the curve is
+    then the mean over ranks, modelling recall@k directly). Measured
+    calibration at 200k clustered 64-dim vectors (BENCH.md r9): the scalar
+    rank-k cosine UNDER-predicts recall at every n_probe (0.061 vs 0.155
+    measured at n_probe=1 … 0.623 vs 0.628 at 32) — a conservative floor;
+    the per-rank average is sharp at small n_probe (0.153/0.206 vs
+    0.155/0.209 at 1/2) and over-predicts by ≤0.05 beyond (plane-
+    independence approximation)."""
+    import math
+
+    try:
+        cosines = [float(c) for c in neighbor_cosine]  # type: ignore[union-attr]
+    except TypeError:
+        cosines = [float(neighbor_cosine)]
+    if len(cosines) > 1:
+        curves = [
+            _multiprobe_capture_curve(qvecs, planes, c) for c in cosines
+        ]
+        return np.mean(np.stack(curves), axis=0)
+    neighbor_cosine = cosines[0]
+
+    P = np.asarray(planes, dtype=np.float64)
+    B = P.shape[0]
+    d = P.shape[1]
+    M = np.asarray(qvecs, dtype=np.float64)
+    margins = M @ P.T  # (n, B)
+    qn = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sigma = np.linalg.norm(P, axis=1) / math.sqrt(d)  # (B,) == 1 for ±1 planes
+    r = np.abs(margins) / (qn * sigma[None, :])
+    c = float(neighbor_cosine)
+    if c >= 1.0:
+        flip = np.zeros_like(r)  # identical neighbor never crosses a plane
+    elif c <= 0.0:
+        flip = np.full_like(r, 0.5)  # ≥90° apart: signs are independent
+    else:
+        tan = math.sqrt(1.0 - c * c) / c
+        z = -r / tan
+        flip = np.vectorize(math.erf)(z / math.sqrt(2.0)) * 0.5 + 0.5
+    masks = np.arange(1 << B, dtype=np.int64)
+    # per-query mask probabilities: log-sum over planes, then rank by the
+    # sequential flip-cost rule (MUST match _lsh_probe_sigs_udf)
+    logp = np.zeros((M.shape[0], 1 << B), dtype=np.float64)
+    costs = np.zeros((M.shape[0], 1 << B), dtype=np.float64)
+    absm = np.abs(margins)
+    with np.errstate(divide="ignore"):
+        lf = np.log(np.maximum(flip, 1e-300))
+        lnf = np.log(np.maximum(1.0 - flip, 1e-300))
+    for b in range(B):
+        on = ((masks >> b) & 1).astype(bool)
+        logp[:, on] += lf[:, b : b + 1]
+        logp[:, ~on] += lnf[:, b : b + 1]
+        costs[:, on] += absm[:, b : b + 1]
+    order = np.argsort(costs, axis=1, kind="stable")
+    ranked_p = np.exp(np.take_along_axis(logp, order, axis=1))
+    return np.cumsum(ranked_p, axis=1).mean(axis=0)
+
+
+def choose_n_probe(
+    qvecs: np.ndarray,
+    planes: list[list[float]],
+    target_recall: float,
+    neighbor_cosine: float,
+) -> int:
+    """Smallest n_probe whose estimated capture (see
+    `_multiprobe_capture_curve`) reaches `target_recall` for neighbors at
+    `neighbor_cosine`. Clamps to 2^B (probe everything == brute force,
+    capture exactly 1.0), so target_recall=1.0 always resolves."""
+    curve = _multiprobe_capture_curve(qvecs, planes, neighbor_cosine)
+    hits = np.flatnonzero(curve >= float(target_recall))
+    return int(hits[0]) + 1 if hits.size else int(curve.size)
+
+
+def _resolve_target_recall(
+    qbase: DataFrame,
+    planes: list[list[float]],
+    target_recall: float,
+    neighbor_cosine,
+    what: str,
+    sample_rows: int = 1024,
+) -> int:
+    """target_recall → n_probe for the query functions: collects a BOUNDED
+    sample of query vectors (the estimator averages over queries, so 1024
+    is plenty) and applies `choose_n_probe`. neighbor_cosine is mandatory —
+    recall is undefined without saying WHICH neighbors count."""
+    if neighbor_cosine is None:
+        raise ValueError(
+            f"{what}: target_recall requires neighbor_cosine — the recall "
+            "target is relative to neighbors at a given similarity. "
+            "Estimate it label-free with estimate_neighbor_cosine "
+            "(sampled brute force), or pass domain knowledge (e.g. ~0.9 "
+            "for near-duplicate lookup)."
+        )
+    rows = qbase.select("qvec").limit(sample_rows).collect()
+    if not rows:
+        return 1
+    qvecs = np.asarray([list(r["qvec"]) for r in rows], dtype=np.float64)
+    return choose_n_probe(qvecs, planes, target_recall, neighbor_cosine)
+
+
+def estimate_neighbor_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> float:
+    """Label-free neighbor-cosine estimate for `target_recall`: brute-force
+    top-k of the queries against a uniform corpus SAMPLE, then the mean
+    cosine of the rank-k rows (the weakest neighbor the target cares
+    about). The sample's k-th best approximates the full corpus's
+    (k/fraction)-th best, so this UNDERESTIMATES the true k-th-neighbor
+    cosine — biasing `choose_n_probe` toward MORE probes, the conservative
+    direction for a recall floor. One sampled brute-force pass: cost scales
+    with sample_fraction, not corpus size."""
+    sample = embeddings.sample(fraction=sample_fraction, seed=seed)
+    topk = cosine_topk(
+        sample, queries, k=k, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col, qvec_col=qvec_col,
+    )
+    row = topk.filter(F.col("rank") == k).agg(F.avg("cosine")).collect()[0]
+    if row[0] is None:
+        raise ValueError(
+            "estimate_neighbor_cosine: the corpus sample produced no rank-"
+            f"{k} rows (fraction {sample_fraction} too small for k={k}) — "
+            "raise sample_fraction"
+        )
+    return float(row[0])
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit per hyperplane, packed into a long."""
     bits = []
@@ -536,6 +730,8 @@ def lsh_cosine_topk_store(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     max_query_rows: int = 100_000,
+    target_recall: float | None = None,
+    neighbor_cosine: float | list[float] | None = None,
 ) -> DataFrame:
     """ANN top-k against a signature-partitioned store: query signatures are
     computed plan-side, `sig IN (...)` prunes whole partition DIRECTORIES
@@ -550,13 +746,26 @@ def lsh_cosine_topk_store(
     though on cluster-structured embeddings the IVF store reaches 0.9953
     at n_probe=1; LSH's niche is high-cosine near-dup lookup (top-1 hit
     1.0 at every probe count). n_probe=2^B reads every bucket and equals
-    brute force exactly (tested)."""
+    brute force exactly (tested).
+
+    `target_recall` (r9 verdict #5) derives n_probe from the query batch's
+    OWN margin distribution instead: the smallest probe count whose
+    model-estimated capture of neighbors at `neighbor_cosine` reaches the
+    target (`choose_n_probe`; measured calibration in the curve helper's
+    docstring — a scalar rank-k cosine makes the target a conservative
+    floor). `neighbor_cosine` is required with it (estimate it label-free
+    via `estimate_neighbor_cosine`, or pass domain knowledge — e.g. ~0.9
+    for near-dup lookup). target_recall=1.0 resolves to 2^B = brute force."""
     import json as _json
 
     with open(f"{path}/meta.json") as f:
         meta = _json.load(f)
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     qbase = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    if target_recall is not None:
+        n_probe = _resolve_target_recall(
+            qbase, planes, target_recall, neighbor_cosine, "lsh_cosine_topk_store"
+        )
     if n_probe > 1:
         probe_udf = _lsh_probe_sigs_udf(planes, n_probe)
         # explode_outer + null-filter (repo explode rule): each (query,
@@ -582,20 +791,32 @@ def lsh_cosine_topk_store(
 def write_ivf_store(
     embeddings: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    lloyd_iters: int = 2,
+    train_fraction: float | None = None,
 ) -> None:
     """Write the corpus partitioned BY INVERTED LIST (`centroid=` dirs);
     centroids ride in meta.json. A query's n_probe lists map to directories
     — partition pruning does the 'scan only n_probe/n_centroids of the
-    corpus' part at the file-listing level."""
+    corpus' part at the file-listing level.
+
+    `n_centroids="auto"` sizes the list count from the corpus (one count();
+    `auto_n_centroids`: ~10k rows/list, power of two, clamped — see its
+    cost model). `lloyd_iters`/`train_fraction` pass through to
+    `train_ivf_centroids` when centroids are not supplied."""
     import json as _json
     import os as _os
 
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(embeddings.count())
     if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+        centroids = train_ivf_centroids(
+            embeddings, int(n_centroids), id_col, vec_col,
+            lloyd_iters=lloyd_iters, train_fraction=train_fraction,
+        )
     assigned = assign_ivf(embeddings, centroids, id_col, vec_col)
     (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
@@ -655,6 +876,8 @@ def lsh_cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     n_probe: int = 1,
+    target_recall: float | None = None,
+    neighbor_cosine: float | list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures bucket the corpus;
     each query scans only its own bucket (≈ N/2^n_planes docs). At cluster
@@ -665,12 +888,18 @@ def lsh_cosine_topk(
     — recall@10 measured 0.167 → 0.419 at 10M vectors for n_probe 1 → 8
     (BENCH.md r8 ANN table; on cluster-structured embeddings the IVF store
     still dominates at the same read budget — LSH's niche is high-cosine
-    near-dup lookup, top-1 hit 1.0 at every probe count)."""
+    near-dup lookup, top-1 hit 1.0 at every probe count).
+    `target_recall` + `neighbor_cosine` derive n_probe from the query
+    batch's margin distribution instead (see lsh_cosine_topk_store)."""
     planes = _hyperplanes(dim, n_planes)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("sig", lsh_signature(F.col("vec"), planes))
     qbase = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    if target_recall is not None:
+        n_probe = _resolve_target_recall(
+            qbase, planes, target_recall, neighbor_cosine, "lsh_cosine_topk"
+        )
     if n_probe > 1:
         probe_udf = _lsh_probe_sigs_udf(planes, n_probe)
         q = qbase.select(

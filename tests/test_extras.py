@@ -807,6 +807,68 @@ def test_lsh_store_multiprobe(spark, tmp_path):
         )
 
 
+def test_lsh_target_recall_knob(spark, tmp_path):
+    """r9 verdict #5: target_recall derives n_probe from the query batch's
+    own margin distribution. (a) target 1.0 resolves to probing all 2^B
+    buckets == brute force exactly (the standing property, now reachable
+    through the knob); (b) choose_n_probe is monotone in the target and in
+    the neighbor cosine; (c) the capture curve ends at exactly 1.0 and is
+    nondecreasing; (d) target_recall without neighbor_cosine raises with
+    the estimator named."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qrows = [(i, [x + rng.uniform(-0.3, 0.3) for x in rows[i * 17][1]])
+             for i in range(8)]
+    qv = spark.createDataFrame(qrows, "qid long, qvec array<float>")
+    planes = similarity._hyperplanes(16, 4, 42)
+    qvecs = np.asarray([v for _, v in qrows], dtype=np.float64)
+
+    curve = similarity._multiprobe_capture_curve(qvecs, planes, 0.7)
+    assert curve.shape == (16,)
+    assert np.all(np.diff(curve) >= -1e-12)  # cumulative probability
+    assert curve[-1] == pytest.approx(1.0, abs=1e-9)  # all buckets = brute
+
+    # monotone in target; 1.0 → every bucket; clamped never above 2^B
+    picks = [similarity.choose_n_probe(qvecs, planes, t, 0.7)
+             for t in (0.2, 0.5, 0.9, 1.0)]
+    assert picks == sorted(picks) and picks[-1] == 16
+    # closer neighbors are easier to capture → fewer probes needed
+    assert similarity.choose_n_probe(qvecs, planes, 0.9, 0.99) <= \
+        similarity.choose_n_probe(qvecs, planes, 0.9, 0.5)
+    # per-rank cosine list is accepted and behaves like an average
+    lo = similarity.choose_n_probe(qvecs, planes, 0.9, 0.99)
+    hi = similarity.choose_n_probe(qvecs, planes, 0.9, 0.5)
+    mid = similarity.choose_n_probe(qvecs, planes, 0.9, [0.99, 0.5])
+    assert lo <= mid <= hi
+
+    # the knob end-to-end: target 1.0 == brute force, both variants
+    key = lambda df: sorted((r["qid"], r["vec_id"], r["rank"]) for r in df.collect())  # noqa: E731
+    brute = key(similarity.cosine_topk(embs, qv, k=10))
+    assert key(similarity.lsh_cosine_topk(
+        embs, qv, k=10, n_planes=4, dim=16,
+        target_recall=1.0, neighbor_cosine=0.7)) == brute
+    path = str(tmp_path / "lsh_tr")
+    similarity.write_lsh_store(embs, path, n_planes=4, dim=16)
+    assert key(similarity.lsh_cosine_topk_store(
+        spark, path, qv, k=10, target_recall=1.0, neighbor_cosine=0.7)) == brute
+
+    with pytest.raises(ValueError, match="estimate_neighbor_cosine"):
+        similarity.lsh_cosine_topk(
+            embs, qv, k=10, n_planes=4, dim=16, target_recall=0.9
+        )
+
+    # the label-free estimator runs and lands in (0, 1] on this corpus
+    est = similarity.estimate_neighbor_cosine(
+        embs, qv, k=3, sample_fraction=0.5
+    )
+    assert 0.0 < est <= 1.0
+
+
 def test_duplicate_clusters_jump_policy_deep_chain(spark):
     """r8 long-chain insurance: a planted 50-deep path graph (diameter 50)
     — propagate needs >50 rounds and must fail LOUDLY on a 20-round budget;

@@ -502,6 +502,38 @@ def test_bench_ann_generator_deterministic_and_clustered():
     assert np.array_equal((Vn @ C.T).argmax(axis=1), (ids % 8).astype(np.int64))
 
 
+def test_bench_ann_messy_generator_shape():
+    """r9 messy-mixture generator: deterministic in the id, Zipf head
+    cluster genuinely dominant, background fraction near its nominal 20%,
+    and the same id always lands in the same (cluster, background) cell."""
+    import numpy as np
+    import pytest
+
+    ids = np.arange(50_000, dtype=np.uint64)
+    cl, bg = bench_ann.messy_params(ids, 64, 1.1, 0.2)
+    cl2, bg2 = bench_ann.messy_params(ids.copy(), 64, 1.1, 0.2)
+    assert np.array_equal(cl, cl2) and np.array_equal(bg, bg2)
+    assert 0.18 < bg.mean() < 0.22
+    counts = np.bincount(cl, minlength=64)
+    assert counts.argmax() == 0  # Zipf head is rank 0
+    assert counts[0] > 3 * counts[32]  # and genuinely dominant
+    assert (counts > 0).all()  # every latent cluster is populated
+    # cdf is a proper CDF
+    cdf = bench_ann.zipf_cdf(64, 1.1)
+    assert cdf[-1] == pytest.approx(1.0) and np.all(np.diff(cdf) > 0)
+
+
+def test_auto_n_centroids_heuristic():
+    """~10k rows/list, power-of-two, clamped — the write_ivf_store 'auto'."""
+    from fusion_spark.extras.similarity import auto_n_centroids
+
+    assert auto_n_centroids(10_000_000) == 1024
+    assert auto_n_centroids(100_000) == 8 or auto_n_centroids(100_000) == 16
+    assert auto_n_centroids(100_000) >= 16  # lo clamp
+    assert auto_n_centroids(10**12) == 4096  # hi clamp
+    assert auto_n_centroids(1) == 16
+
+
 def test_bench_ann_store_file_stats(tmp_path):
     """Hive-layout accounting: totals, kept subset, per-partition bytes."""
     for part, sizes in [("sig=3", [100, 50]), ("sig=7", [200]), ("sig=9", [400])]:

@@ -86,6 +86,53 @@ def gen_vectors(spark, n: int, dim: int, n_clusters: int, noise: float = 0.25):
     )
 
 
+def zipf_cdf(n_clusters: int, s: float = 1.1) -> np.ndarray:
+    """Normalized CDF of Zipf weights (c+1)^-s over cluster ranks."""
+    w = (np.arange(n_clusters, dtype=np.float64) + 1.0) ** (-s)
+    return np.cumsum(w) / w.sum()
+
+
+def messy_params(ids: np.ndarray, n_clusters: int, s: float,
+                 background_frac: float) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster_rank, is_background) per id — deterministic in the id.
+    Cluster sizes are Zipf(s)-weighted (head cluster holds the largest
+    share); `background_frac` of ids carry NO cluster structure at all."""
+    cdf = zipf_cdf(n_clusters, s)
+    u1 = _splitmix64(ids ^ np.uint64(0xB16B00B5)).astype(np.float64) / np.float64(2**64)
+    u2 = _splitmix64(ids ^ np.uint64(0x5EEDED)).astype(np.float64) / np.float64(2**64)
+    clusters = np.searchsorted(cdf, u1, side="left").astype(np.int64)
+    return np.minimum(clusters, n_clusters - 1), u2 < background_frac
+
+
+def gen_messy_vectors(spark, n: int, dim: int, n_clusters: int,
+                      s: float = 1.1, background_frac: float = 0.2,
+                      noise: float = 0.5):
+    """The r9 'no planted structure' corpus: Zipf-weighted cluster sizes,
+    20% uniform background, and noise large enough (0.5 vs the planted
+    bench's 0.25) that clusters genuinely overlap — the honest shape for
+    testing IVF TRAINING rather than IVF lookup."""
+    C = centers_matrix(n_clusters, dim)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            cl, bg = messy_params(ids, n_clusters, s, background_frac)
+            vecs = C[cl] + noise * _unit_noise(ids, dim)
+            # background rows: pure noise at a comparable norm, no center
+            bgv = 1.2 * _unit_noise(ids ^ np.uint64(0xFACE), dim)
+            vecs = np.where(bg[:, None], bgv, vecs)
+            yield pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "embedding": list(vecs.astype(np.float32)),
+            })
+
+    return spark.range(0, n, numPartitions=64).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+
+
 def store_file_stats(vec_dir: str, keep: set[str] | None, part_key: str):
     """(files_total, bytes_total, files_kept, bytes_kept, bytes_by_part) of
     a Hive-layout store; `keep` = partition values the reader's isin
@@ -182,10 +229,25 @@ def main():
         top1 = [bool(got.get(q)) and got[q][0] == truth[q][0] for q in truth]
         return round(float(np.mean(rec)), 4), round(float(np.mean(top1)), 4)
 
-    # ---- LSH store, single- and multi-probe (r8)
+    # ---- LSH store, single- and multi-probe (r8); r9 adds the model-
+    # predicted recall next to each measured one (target_recall knob
+    # calibration — _multiprobe_capture_curve) and the knob's own picks
     with open(f"{out_dir}/lsh/meta.json") as f:
         meta = json.load(f)
     planes = similarity._hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    by_rank: dict[int, list[float]] = {}
+    for r in brute_rows:
+        by_rank.setdefault(r["rank"], []).append(r["cosine"])
+    rank_cos = [float(np.mean(by_rank[rk])) for rk in sorted(by_rank)]
+    curve_rankavg = similarity._multiprobe_capture_curve(qvecs, planes, rank_cos)
+    curve_floor = similarity._multiprobe_capture_curve(qvecs, planes, rank_cos[-1])
+    report["target_recall_knob"] = {
+        "neighbor_cosine_rank_k": round(rank_cos[-1], 4),
+        "picks": {
+            str(t): similarity.choose_n_probe(qvecs, planes, t, rank_cos[-1])
+            for t in (0.3, 0.5, 0.9)
+        },
+    }
     for n_probe in (1, 2, 4, 8):
         lsh_sec, lsh_rows = run_latency(
             lambda: similarity.lsh_cosine_topk_store(
@@ -212,6 +274,8 @@ def main():
             "batch_bytes_read_frac": round(bk / bt, 4),
             "per_query_bytes_read_frac": round(per_q_frac, 5),
             "recall_at_10": rec, "top1_hit": top1,
+            "predicted_recall_rankavg": round(float(curve_rankavg[n_probe - 1]), 4),
+            "predicted_recall_floor": round(float(curve_floor[n_probe - 1]), 4),
         }
 
     # ---- IVF store at n_probe 1, 4, 8
