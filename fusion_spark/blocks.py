@@ -423,16 +423,25 @@ def merge_packed(
     if len(seg) != 1 or len(var) != 1:
         raise ValueError(f"incompatible stores: segment_sizes={seg}, variants={var}")
     if check_disjoint:
-        spans = []
-        for p in paths:
-            row = (
-                spark.read.parquet(f"{p}/blocks")
-                .agg(F.min("segment").alias("lo"), F.max("segment").alias("hi"))
-                .collect()[0]
+        # ONE metadata job for every store (not one per store): at merge
+        # fan-in 64+ — the many-small-ingest shape — serial per-store
+        # aggregates dominated the merge wall (11.2 s of a 12.5 s merge at
+        # fan-in 64, r9 measured). input_file_name() keys each blocks row
+        # back to its store directory; empty stores contribute no row,
+        # matching the old per-store None skip.
+        span_rows = (
+            spark.read.parquet(*[f"{p}/blocks" for p in paths])
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), r"^(.*)/blocks/[^/]+$", 1
+                ).alias("store"),
+                "segment",
             )
-            if row["lo"] is not None:
-                spans.append((row["lo"], row["hi"], p))
-        spans.sort()
+            .groupBy("store")
+            .agg(F.min("segment").alias("lo"), F.max("segment").alias("hi"))
+            .collect()
+        )
+        spans = sorted((r["lo"], r["hi"], r["store"]) for r in span_rows)
         for (_, hi_a, p_a), (lo_b, _, p_b) in zip(spans, spans[1:]):
             if lo_b <= hi_a:
                 raise ValueError(
