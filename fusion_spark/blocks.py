@@ -469,6 +469,152 @@ def merge_packed(
     )
 
 
+# ------------------------ resumable / sharded pack --------------------------
+
+
+def _pack_manifest_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "_manifest.jsonl")
+
+
+def _read_pack_manifest(store_dir: str) -> tuple[dict | None, dict[int, dict]]:
+    """(plan, done-shards). The plan line pins (segment_size, n_shards,
+    id_range) so a resume with different knobs fails loudly instead of
+    silently mixing incompatible shard layouts."""
+    import json
+    import os
+
+    plan, done = None, {}
+    p = _pack_manifest_path(store_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if "plan" in rec:
+                    plan = rec["plan"]
+                elif rec.get("status") == "ok":
+                    done[rec["shard"]] = rec
+    return plan, done
+
+
+def pack_index_resumable(
+    spark: SparkSession,
+    index: BM25Index,
+    store_dir: str,
+    n_shards: int = 8,
+    segment_size: int | str = "auto",
+    compact: bool = False,
+) -> PackedIndex:
+    """Checkpointed pack — the pack-stage analogue of
+    `indexing.build_index_resumable` (the reference's resumable build has
+    no pack stage at all: `bm25.py` holds its dict index in memory).
+
+    The doc-id range splits into ``n_shards`` segment-ALIGNED spans; each
+    span packs to its own shard store under ``store_dir`` with a lineage
+    row appended to ``_manifest.jsonl``; completed shards are skipped on
+    restart, so a pack job killed at 90% re-does ~1/n_shards of the work,
+    not all of it. Returns the `merge_packed` union (disjointness guard
+    ON — alignment makes shard segment ranges disjoint by construction),
+    which is query-identical to a monolithic pack: blobs are per-(term,
+    segment) facts local to one shard, and df/idf/avgdl are recomputed
+    exactly at merge (BENCH.md r9: proven at ~1B postings / 4 shards and
+    at fan-in 64). ``compact=True`` additionally rewrites the union as a
+    single store at ``{store_dir}/compacted`` (block-level rewrite, no
+    re-encode — measured ~2.5× query-time file-open win) and returns that.
+
+    A resume must use the same (segment_size, n_shards) over the same
+    doc-id range as the original run — the manifest's plan line enforces
+    it loudly.
+    """
+    import json
+    import os
+    import time
+
+    os.makedirs(store_dir, exist_ok=True)
+    plan, done = _read_pack_manifest(store_dir)
+
+    mx = index.docstats.agg(F.max("doc_id")).collect()[0][0]
+    id_range = (int(mx) + 1) if mx is not None else 0
+    if segment_size == "auto":
+        seg = auto_segment_size(index.termstats, index.n_docs, id_range=id_range)
+    else:
+        seg = int(segment_size)
+    # segment-aligned shard width covering the id range
+    span = max((id_range + n_shards - 1) // n_shards, 1)
+    span = ((span + seg - 1) // seg) * seg
+    this_plan = {"segment_size": seg, "n_shards": n_shards,
+                 "id_range": id_range, "span": span}
+    if plan is not None and plan != this_plan:
+        raise ValueError(
+            "pack_index_resumable: resume with a DIFFERENT shard layout — "
+            f"manifest plan {plan} vs current {this_plan}. Finish the pack "
+            "with the original knobs or start a fresh store_dir."
+        )
+    if plan is None:
+        with open(_pack_manifest_path(store_dir), "a") as f:
+            f.write(json.dumps({"plan": this_plan}) + "\n")
+
+    from fusion_spark.indexing import _finalize
+
+    shard_paths = []
+    for i in range(n_shards):
+        lo, hi = i * span, min((i + 1) * span, id_range)
+        if lo >= id_range:
+            break
+        path = os.path.join(store_dir, f"shard={i:04d}")
+        shard_paths.append(path)
+        if i in done:
+            continue
+        t0 = time.perf_counter()
+        si = _finalize(
+            index.postings.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            index.docstats.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            index.variant,
+        )
+        PackedIndex.from_index(si, segment_size=seg,
+                               num_partitions="auto").write(path)
+        # lineage metrics from the WRITTEN store's block metadata (columnar
+        # read of the tiny block-level columns, not a postings re-scan)
+        stats = spark.read.parquet(f"{path}/blocks").agg(
+            F.sum("n_docs").alias("n_postings"),
+            F.count("*").alias("n_blocks"),
+        ).collect()[0]
+        with open(_pack_manifest_path(store_dir), "a") as f:
+            f.write(json.dumps({
+                "shard": i, "status": "ok", "doc_lo": lo, "doc_hi": hi,
+                "n_postings": int(stats["n_postings"] or 0),
+                "n_blocks": int(stats["n_blocks"]),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            }) + "\n")
+
+    merged = merge_packed(spark, shard_paths)
+    if compact:
+        out = os.path.join(store_dir, "compacted")
+        merged.write(out)
+        return PackedIndex.read(spark, out)
+    return merged
+
+
+def pack_lineage(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Per-shard pack lineage/metrics table (mirrors `indexing.lineage`)."""
+    import json
+
+    _, done = _read_pack_manifest(store_dir)
+    rows = sorted(done.values(), key=lambda r: r["shard"])
+    return spark.createDataFrame(
+        [json.dumps(r) for r in rows], "string"
+    ).selectExpr(
+        "from_json(value, 'shard int, status string, doc_lo long, "
+        "doc_hi long, n_postings long, n_blocks long, wall_sec double') r"
+    ).select("r.*")
+
+
 # --------------------------- block-max WAND scoring -------------------------
 
 def wand_search(

@@ -517,3 +517,90 @@ def test_wand_census_collect_is_bounded(spark, docs_df):
     )
     with pytest.raises(ValueError, match="distinct qids"):
         wand_search(packed, qs, k=2, max_queries_per_chunk=2, max_chunks_per_plan=2)
+
+
+def test_pack_index_resumable_identity_and_skip(spark, docs_df, queries_df, tmp_path):
+    """r9: the pack-stage resumability analogue of build_index_resumable —
+    WAND identity with the monolithic pack, completed shards skipped on
+    restart (mtimes untouched), lineage table populated, and a resume with
+    different knobs rejected loudly via the manifest's plan line."""
+    import os
+    import time as _time
+
+    from fusion_spark.blocks import pack_index_resumable, pack_lineage
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    store = str(tmp_path / "rstore")
+    merged = pack_index_resumable(spark, idx, store, n_shards=3, segment_size=16)
+    mono = PackedIndex.from_index(idx, segment_size=16)
+    qs = queries_df
+
+    def topk(p):
+        return sorted(
+            (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand_search(p, qs, k=5, k1=2.5, b=0.2).collect()
+        )
+
+    assert topk(merged) == topk(mono)
+    assert merged.n_docs == mono.n_docs
+
+    lin = pack_lineage(spark, store).collect()
+    assert [r["shard"] for r in lin] == sorted(r["shard"] for r in lin)
+    assert sum(r["n_postings"] for r in lin) == idx.postings.count()
+
+    # restart: every shard complete -> no shard store is rewritten
+    shard_dirs = sorted(
+        os.path.join(store, d) for d in os.listdir(store) if d.startswith("shard=")
+    )
+    assert len(shard_dirs) == len(lin) >= 2
+    mtimes = {d: os.path.getmtime(os.path.join(d, "meta.json")) for d in shard_dirs}
+    _time.sleep(0.05)
+    again = pack_index_resumable(spark, idx, store, n_shards=3, segment_size=16)
+    assert topk(again) == topk(mono)
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(d, "meta.json")) == m
+
+    # a dead run = some shards missing from the manifest: drop the last
+    # shard's lineage row and its store; resume must redo ONLY that shard
+    manifest = os.path.join(store, "_manifest.jsonl")
+    lines = [ln for ln in open(manifest).read().splitlines() if ln.strip()]
+    import json as _json
+
+    keep = [ln for ln in lines if _json.loads(ln).get("shard") != lin[-1]["shard"]]
+    with open(manifest, "w") as f:
+        f.write("\n".join(keep) + "\n")
+    import shutil as _shutil
+
+    _shutil.rmtree(shard_dirs[-1])
+    resumed = pack_index_resumable(spark, idx, store, n_shards=3, segment_size=16)
+    assert topk(resumed) == topk(mono)
+    for d, m in list(mtimes.items())[:-1]:
+        assert os.path.getmtime(os.path.join(d, "meta.json")) == m
+
+    # layout drift is rejected, not silently mixed
+    with pytest.raises(ValueError, match="DIFFERENT shard layout"):
+        pack_index_resumable(spark, idx, store, n_shards=4, segment_size=16)
+
+
+def test_pack_index_resumable_compact(spark, docs_df, queries_df, tmp_path):
+    """compact=True returns a single re-packed store with identical top-k."""
+    from fusion_spark.blocks import pack_index_resumable
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    store = str(tmp_path / "cstore")
+    compacted = pack_index_resumable(
+        spark, idx, store, n_shards=2, segment_size=16, compact=True
+    )
+    mono = PackedIndex.from_index(idx, segment_size=16)
+    a = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in wand_search(compacted, queries_df, k=5, k1=2.5, b=0.2).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in wand_search(mono, queries_df, k=5, k1=2.5, b=0.2).collect()
+    )
+    assert a == b
+    import os
+
+    assert os.path.exists(os.path.join(store, "compacted", "meta.json"))
