@@ -832,6 +832,85 @@ def write_ivf_store(
         _json.dump({"centroids": centroids}, f)
 
 
+def calibrate_ivf_probe_curve(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> list[float]:
+    """Empirical recall@k-vs-n_probe curve for a written IVF store.
+
+    The LSH knob (`_multiprobe_capture_curve`) is label-free because
+    random hyperplanes admit a closed-form flip model; trained IVF
+    geometry doesn't — its capture depends on the data and the learned
+    centroids. So the IVF knob is EMPIRICAL: one exact brute-force pass
+    over a small calibration query sample (the only full-store scan this
+    costs, offline) labels each query's true top-k; their inverted lists
+    are already stored on the vectors (`centroid` partition column), so
+    recall at EVERY n_probe falls out of one membership count against the
+    query's full probe ranking — no store queries are executed at all.
+
+    curve[j-1] = expected recall@k at n_probe=j, averaged over the
+    calibration queries; valid insofar as those queries are drawn from
+    the production query distribution (same assumption the LSH knob's
+    neighbor-cosine hypothesis encodes). Monotone, ends at exactly 1.0
+    (probing all lists IS brute force)."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as f:
+        centroids = _json.load(f)["centroids"]
+    n_c = len(centroids)
+    corpus = spark.read.parquet(f"{path}/vectors")
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    truth = cosine_topk(corpus, q, k=k, id_col="vec_id", vec_col="vec")
+    neigh = truth.select("qid", "vec_id").join(
+        corpus.select("vec_id", "centroid"), "vec_id"
+    )
+    full_order = _probe_ids_udf(centroids, n_c)
+    ranks = q.select("qid", full_order(F.col("qvec")).alias("probe_order"))
+    rows = (
+        neigh.join(ranks, "qid")
+        .select(
+            "qid",
+            F.array_position(
+                F.col("probe_order"), F.col("centroid").cast("int")
+            ).alias("pos"),
+        )
+        .collect()
+    )  # ≤ |calibration queries| × k rows
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(int(r["pos"]))
+    if not per_q:
+        raise ValueError(
+            "calibrate_ivf_probe_curve: no calibration queries produced "
+            "neighbors — empty store or empty query sample"
+        )
+    curve = []
+    for j in range(1, n_c + 1):
+        curve.append(
+            sum(
+                sum(1 for p in ps if 1 <= p <= j) / len(ps)
+                for ps in per_q.values()
+            )
+            / len(per_q)
+        )
+    return [round(c, 4) for c in curve]
+
+
+def choose_ivf_n_probe(curve: list[float], target_recall: float) -> int:
+    """Smallest n_probe whose calibrated expected recall meets the target
+    (all lists — exact brute force — if the target is unreachable)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    for j, r in enumerate(curve, 1):
+        if r >= target_recall - 1e-12:
+            return j
+    return len(curve)
+
+
 def ivf_cosine_topk_store(
     spark,
     path: str,
@@ -841,11 +920,29 @@ def ivf_cosine_topk_store(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     max_query_rows: int = 100_000,
+    target_recall: float | None = None,
+    probe_curve: list[float] | None = None,
 ) -> DataFrame:
     """IVF top-k against a centroid-partitioned store: probe assignment via
     the vectorized UDF, the probe SET (≤ n_centroids ids, independent of
-    query count) prunes partitions, then broadcast-join + cosine + top-k."""
+    query count) prunes partitions, then broadcast-join + cosine + top-k.
+
+    `target_recall=` expresses intent instead of mechanism (the IVF
+    analogue of the LSH knob): pass the store's calibrated
+    `probe_curve` (from `calibrate_ivf_probe_curve`, computed once
+    offline per layout) and n_probe resolves to the cheapest probe count
+    whose expected recall meets the target. target_recall=1.0 probes
+    every list == exact brute force."""
     import json as _json
+
+    if target_recall is not None:
+        if probe_curve is None:
+            raise ValueError(
+                "target_recall= needs the store's calibrated probe_curve "
+                "(calibrate_ivf_probe_curve) — trained IVF geometry has no "
+                "label-free closed form (unlike the LSH capture model)"
+            )
+        n_probe = choose_ivf_n_probe(probe_curve, target_recall)
 
     with open(f"{path}/meta.json") as f:
         centroids = _json.load(f)["centroids"]

@@ -1247,3 +1247,46 @@ def test_curation_shuffle_partitions_heuristic():
     sizes = [10**k for k in range(3, 10)]
     vals = [csp(s, cores=32) for s in sizes]
     assert vals == sorted(vals)
+
+
+def test_ivf_probe_curve_calibration_and_target_recall(spark, tmp_path):
+    """r9: the IVF intent-level knob. calibrate_ivf_probe_curve measures the
+    recall-vs-n_probe curve from one labeled pass (no store queries run);
+    the curve is monotone and ends at exactly 1.0; target_recall=1.0
+    resolves to probing every list == exact brute force; and the knob
+    without a curve fails loudly (IVF has no label-free closed form)."""
+    import math
+
+    import pytest as _pytest
+
+    rows = [(i, [math.sin(i * 0.7 + j) + (i % 5) for j in range(8)])
+            for i in range(120)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cal_q = embs.filter("vec_id % 7 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    path = str(tmp_path / "ivf_cal")
+    similarity.write_ivf_store(embs, path, n_centroids=8, lloyd_iters=1)
+
+    curve = similarity.calibrate_ivf_probe_curve(spark, path, cal_q, k=5)
+    assert len(curve) == 8
+    assert all(b >= a - 1e-12 for a, b in zip(curve, curve[1:]))  # monotone
+    assert curve[-1] == 1.0  # all lists probed == brute force, by definition
+
+    # held-out queries: target 1.0 must reproduce brute force exactly
+    hold_q = embs.filter("vec_id % 7 = 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = similarity.ivf_cosine_topk_store(
+        spark, path, hold_q, k=5, target_recall=1.0, probe_curve=curve)
+    brute = similarity.cosine_topk(embs, hold_q, k=5)
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["rank"], r["vec_id"]) for r in df.collect())
+    assert key(got) == key(brute)
+
+    # choose_ivf_n_probe is the first curve index meeting the target
+    assert similarity.choose_ivf_n_probe([0.2, 0.5, 0.9, 1.0], 0.5) == 2
+    assert similarity.choose_ivf_n_probe([0.2, 0.5, 0.9, 1.0], 0.95) == 4
+    with _pytest.raises(ValueError, match="target_recall"):
+        similarity.choose_ivf_n_probe([0.5, 1.0], 0.0)
+    with _pytest.raises(ValueError, match="probe_curve"):
+        similarity.ivf_cosine_topk_store(
+            spark, path, hold_q, k=5, target_recall=0.9)
