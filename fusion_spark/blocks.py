@@ -441,6 +441,16 @@ def merge_packed(
             .agg(F.min("segment").alias("lo"), F.max("segment").alias("hi"))
             .collect()
         )
+        # a file path the regexp fails to parse yields store='' for the row;
+        # letting that pass would COLLAPSE every unparsed store into one span
+        # and silently disable the guard (r9 ADVICE) — degrade to an error
+        if any(r["store"] == "" for r in span_rows):
+            raise ValueError(
+                "merge_packed: could not attribute some block files to a "
+                "store directory (path did not match '<store>/blocks/<file>')"
+                " — the disjointness guard cannot run on this layout; fix "
+                "the store paths or pass check_disjoint=False deliberately."
+            )
         spans = sorted((r["lo"], r["hi"], r["store"]) for r in span_rows)
         for (_, hi_a, p_a), (lo_b, _, p_b) in zip(spans, spans[1:]):
             if lo_b <= hi_a:
@@ -528,7 +538,10 @@ def pack_index_resumable(
 
     A resume must use the same (segment_size, n_shards) over the same
     doc-id range as the original run — the manifest's plan line enforces
-    it loudly.
+    it loudly. ``segment_size="auto"`` on a resume adopts the plan line's
+    resolved size rather than re-deriving it from the live index, so a
+    slightly shifted df distribution cannot abort a resume whose caller
+    changed nothing.
     """
     import json
     import os
@@ -539,8 +552,26 @@ def pack_index_resumable(
 
     mx = index.docstats.agg(F.max("doc_id")).collect()[0][0]
     id_range = (int(mx) + 1) if mx is not None else 0
+    if id_range == 0:
+        # an empty index would write a useless id_range=0 plan line and then
+        # crash inside merge_packed's no-paths parquet read (r9 ADVICE) —
+        # fail here with the actual cause, before touching the manifest
+        raise ValueError(
+            "pack_index_resumable: the index has no documents (empty "
+            "docstats → doc-id range 0) — nothing to pack. Build the index "
+            "over a non-empty corpus first."
+        )
     if segment_size == "auto":
-        seg = auto_segment_size(index.termstats, index.n_docs, id_range=id_range)
+        if plan is not None:
+            # resume: adopt the manifest plan's resolved size — re-deriving
+            # from the LIVE index can drift (df distribution shifts) and
+            # abort the plan-match check even though the caller changed
+            # nothing (r9 ADVICE); n_shards/id_range are still validated
+            seg = int(plan["segment_size"])
+        else:
+            seg = auto_segment_size(
+                index.termstats, index.n_docs, id_range=id_range
+            )
     else:
         seg = int(segment_size)
     # segment-aligned shard width covering the id range

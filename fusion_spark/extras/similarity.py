@@ -144,6 +144,7 @@ def train_ivf_centroids(
     whatever frame trains. At 10M×64 dims a full step aggregates 640M
     (centroid, dim, x) rows; a 10% sample cuts the step 10× with
     near-identical centroids (BENCH.md r9 messy-mixture run)."""
+    full = embeddings
     if train_fraction is not None:
         embeddings = embeddings.sample(fraction=float(train_fraction), seed=42)
     cents = [
@@ -153,6 +154,25 @@ def train_ivf_centroids(
         .limit(n_centroids)
         .collect()
     ]
+    if len(cents) < n_centroids and train_fraction is not None:
+        # a small corpus × small fraction can sample fewer rows than
+        # centroids (or zero) — silently seeding fewer would change the
+        # store layout, and an empty list crashes downstream in assign_ivf
+        # with an unrelated error (r9 ADVICE). Fall back to the full frame.
+        embeddings = full
+        cents = [
+            list(r["v"])
+            for r in embeddings.select(F.col(vec_col).alias("v"))
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        ]
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: corpus has only {len(cents)} vectors but "
+            f"n_centroids={n_centroids} — reduce n_centroids (auto_n_centroids "
+            "sizes it from the corpus) or supply more vectors."
+        )
     dim = len(cents[0])
     for _ in range(lloyd_iters):
         assigned = assign_ivf(embeddings, cents, id_col, vec_col)

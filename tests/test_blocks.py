@@ -604,3 +604,74 @@ def test_pack_index_resumable_compact(spark, docs_df, queries_df, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(store, "compacted", "meta.json"))
+
+
+def test_pack_index_resumable_empty_index_raises(spark, tmp_path):
+    """r9 ADVICE: an empty index (no docstats → id_range 0) must fail with
+    the actual cause BEFORE writing a plan line, not crash later inside
+    merge_packed's no-paths parquet read."""
+    import os
+
+    from fusion_spark.blocks import pack_index_resumable
+
+    empty = build_index(
+        spark.createDataFrame([], "doc_id long, content string"),
+        doc_id_col="doc_id",
+        text_col="content",
+    )
+    store = str(tmp_path / "estore")
+    with pytest.raises(ValueError, match="no documents"):
+        pack_index_resumable(spark, empty, store, n_shards=2, segment_size=16)
+    assert not os.path.exists(os.path.join(store, "_manifest.jsonl"))
+
+
+def test_merge_packed_guard_rejects_unparseable_store_paths(spark, docs_df, tmp_path):
+    """r9 ADVICE: a blocks layout whose file paths don't match
+    '<store>/blocks/<file>' (e.g. a partitioned blocks dir) must make the
+    disjointness guard FAIL LOUDLY — '' store keys would otherwise collapse
+    every store into one span and silently disable the check."""
+    import json
+    import os
+
+    from fusion_spark.blocks import merge_packed
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    p = PackedIndex.from_index(idx, segment_size=16)
+    bad = str(tmp_path / "badstore")
+    # a nested (partitioned) blocks layout — one extra dir level
+    p.blocks.write.partitionBy("segment").parquet(os.path.join(bad, "blocks"))
+    p.termstats.write.parquet(os.path.join(bad, "termstats"))
+    with open(os.path.join(bad, "meta.json"), "w") as f:
+        json.dump(
+            {"n_docs": p.n_docs, "avgdl": p.avgdl,
+             "segment_size": p.segment_size, "variant": p.variant}, f)
+    with pytest.raises(ValueError, match="could not attribute"):
+        merge_packed(spark, [bad])
+
+
+def test_pack_index_resumable_auto_adopts_manifest_segment_size(
+    spark, docs_df, queries_df, tmp_path
+):
+    """r9 ADVICE: a resume with segment_size='auto' adopts the manifest
+    plan's resolved size instead of re-deriving it from the live index —
+    re-derivation drifts with the df distribution and aborted resumes whose
+    caller changed nothing."""
+    from fusion_spark.blocks import pack_index_resumable
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    store = str(tmp_path / "astore")
+    # original run pins segment_size=16 in the plan line; auto would derive
+    # something else entirely (the 4096 floor at this corpus size)
+    pack_index_resumable(spark, idx, store, n_shards=2, segment_size=16)
+    resumed = pack_index_resumable(spark, idx, store, n_shards=2, segment_size="auto")
+    assert resumed.segment_size == 16
+    mono = PackedIndex.from_index(idx, segment_size=16)
+    a = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in wand_search(resumed, queries_df, k=5).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in wand_search(mono, queries_df, k=5).collect()
+    )
+    assert a == b

@@ -1290,3 +1290,22 @@ def test_ivf_probe_curve_calibration_and_target_recall(spark, tmp_path):
     with _pytest.raises(ValueError, match="probe_curve"):
         similarity.ivf_cosine_topk_store(
             spark, path, hold_q, k=5, target_recall=0.9)
+
+
+def test_train_ivf_centroids_small_sample_falls_back_and_raises(spark):
+    """r9 ADVICE: train_fraction sampling fewer rows than n_centroids must
+    fall back to the full frame (not silently seed fewer centroids / crash
+    in assign_ivf); a corpus genuinely smaller than n_centroids raises a
+    named error."""
+    import math
+
+    rows = [(i, [math.sin(i * 0.31 + j * 0.7) for j in range(8)]) for i in range(10)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # fraction so small the sample is (almost surely) < 4 rows → full-frame
+    # fallback still yields exactly n_centroids centroids
+    cents = similarity.train_ivf_centroids(
+        embs, n_centroids=4, lloyd_iters=0, train_fraction=0.01
+    )
+    assert len(cents) == 4
+    with pytest.raises(ValueError, match="n_centroids"):
+        similarity.train_ivf_centroids(embs, n_centroids=64, lloyd_iters=0)
