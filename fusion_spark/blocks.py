@@ -223,10 +223,70 @@ def _resolve_pack_params(
     return segment_size, (None if num_partitions is None else int(num_partitions))
 
 
+def _blocks_frame(
+    terms: np.ndarray,
+    segs: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    segment_size: int,
+) -> pd.DataFrame:
+    """Emit BLOCK_SCHEMA rows from (term,segment,doc_id)-SORTED aligned
+    arrays with group-start indices. Shared by both pack kernels — the
+    lexsort kernel sorts in Python first; the sorted kernel receives rows
+    already ordered by Spark's reduce-side Tungsten sort."""
+    n = doc_ids.shape[0]
+    counts = np.diff(np.append(starts, n))
+    # doc-id gaps within a block; each block's first delta is relative
+    # to its segment base (identical to the previous per-group encoding)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[starts] = doc_ids[starts] - segs[starts] * segment_size
+    max_tf = np.maximum.reduceat(tfs, starts)
+    min_dl = np.minimum.reduceat(dls, starts)
+
+    blob_cols = []
+    for arr in (deltas, tfs, dls):
+        stream, lens = _varint_encode_stream(arr.astype(np.uint64))
+        blk_sizes = np.add.reduceat(lens, starts)
+        blk_ends = np.cumsum(blk_sizes)
+        blk_starts = blk_ends - blk_sizes
+        blob_cols.append(
+            [stream[a:b] for a, b in zip(blk_starts, blk_ends)]
+        )
+    return pd.DataFrame(
+        {
+            "term": terms[starts],
+            "segment": segs[starts],
+            "n_docs": counts.astype(np.int32),
+            "max_tf": max_tf.astype(np.int32),
+            "min_dl": min_dl.astype(np.int32),
+            "doc_blob": blob_cols[0],
+            "tf_blob": blob_cols[1],
+            "dl_blob": blob_cols[2],
+        }
+    )
+
+
+def _group_starts(pdf: pd.DataFrame) -> np.ndarray:
+    """Group-start indices over rows already sorted by (term, segment):
+    factorize → int codes (vectorized hash; object-array != would be a
+    per-row PyObject compare) then boundary = code-or-segment change."""
+    codes, _uniq = pd.factorize(pdf["term"], sort=False)
+    segs = pdf["segment"].to_numpy(dtype=np.int64)
+    n = len(pdf)
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (codes[1:] != codes[:-1]) | (segs[1:] != segs[:-1])
+    return np.flatnonzero(new_group)
+
+
 def pack_index(
     index: BM25Index,
     segment_size: int | str = 1 << 20,
     num_partitions: int | str | None = "auto",
+    strategy: str = "sorted",
 ) -> DataFrame:
     """Postings → packed blocks: repartition co-locates every (term, segment)
     group, then ONE vectorized pass per partition builds all of its blocks.
@@ -253,12 +313,37 @@ def pack_index(
     `segment_size="auto"` derives the size from the index's own term-df
     distribution via `auto_segment_size` over the real doc-id range (one
     vocab-sized aggregate + one docstats max). `num_partitions` bounds
-    per-task memory: each pack task materializes its whole shuffle
-    partition (~40-60 bytes/posting in pandas/numpy), so it is sized from
-    the postings count — the default "auto" applies
-    `pack_shuffle_partitions` (~1.5M postings/task); None keeps the
-    session shuffle-partition default (fine to ~10^8 postings at 64
-    partitions / 4g-core executors); an int pins it."""
+    per-task memory (see strategy notes below for what each kernel
+    materializes) — the default "auto" applies `pack_shuffle_partitions`
+    (~1.5M postings/task); None keeps the session shuffle-partition
+    default (fine to ~10^8 postings at 64 partitions / 4g-core
+    executors); an int pins it.
+
+    `strategy` picks the kernel; both produce the IDENTICAL block set
+    (asserted block-for-block in tests and at 99.2M postings in
+    tools/bench_pack_kernel.py):
+
+      * "sorted" (default since r10) — Spark sorts each shuffle partition
+        by (term, segment, doc_id) on the reduce side (Tungsten binary
+        sort, spill-capable, overlapped with the shuffle read) and the
+        Python kernel becomes a STREAMING pass over Arrow batches: group
+        boundaries from key changes, reduceat stats, varint encode, with
+        the trailing (possibly incomplete) group carried into the next
+        batch. No np.lexsort, no 5-column gather — the r9 control showed
+        those are memory-bandwidth-bound and scale at ~0.49 on 2→8 local
+        cores (BENCH.md). Peak Python memory is O(arrow_batch + largest
+        group) instead of O(partition).
+      * "lexsort" — the r7–r9 kernel: materialize the whole partition in
+        pandas, factorize terms to int codes, np.lexsort((doc, seg,
+        code)), gather, one emission. Kept as the A/B control and as a
+        fallback if an upstream ever feeds unsorted partitions by design.
+
+    The sorted kernel VERIFIES its ordering contract instead of trusting
+    it: within a group doc-id deltas must be strictly positive (catches
+    an unsorted feed and duplicate (term, doc) postings alike) and any
+    violation raises with the offending term."""
+    if strategy not in ("sorted", "lexsort"):
+        raise ValueError(f"pack_index: unknown strategy {strategy!r}")
     segment_size, num_partitions = _resolve_pack_params(
         index, segment_size, num_partitions
     )
@@ -266,7 +351,9 @@ def pack_index(
         "segment", F.expr(f"doc_id div {int(segment_size)}")
     )
 
-    def pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def pack_partition_lexsort(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         pdfs = list(batches)
         if not pdfs:
             return
@@ -281,57 +368,99 @@ def pack_index(
         segs = pdf["segment"].to_numpy(dtype=np.int64)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((doc_ids, segs, codes))
-        codes = codes[order]
         segs = segs[order]
         doc_ids = doc_ids[order]
-        if doc_ids[0] < 0 or doc_ids.min() < 0:
+        if doc_ids.min() < 0:
             raise ValueError(
                 f"pack_index requires doc_id >= 0 (got {doc_ids.min()})"
             )
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
-        dls = pdf["dl"].to_numpy(dtype=np.int64)[order]
-        terms = pdf["term"].to_numpy()[order]
-
+        codes = codes[order]
         new_group = np.empty(n, dtype=bool)
         new_group[0] = True
         new_group[1:] = (codes[1:] != codes[:-1]) | (segs[1:] != segs[:-1])
         starts = np.flatnonzero(new_group)
-        counts = np.diff(np.append(starts, n))
-        # doc-id gaps within a block; each block's first delta is relative
-        # to its segment base (identical to the previous per-group encoding)
-        deltas = np.empty(n, dtype=np.int64)
-        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
-        deltas[starts] = doc_ids[starts] - segs[starts] * segment_size
-        max_tf = np.maximum.reduceat(tfs, starts)
-        min_dl = np.minimum.reduceat(dls, starts)
-
-        blob_cols = []
-        for arr in (deltas, tfs, dls):
-            stream, lens = _varint_encode_stream(arr.astype(np.uint64))
-            blk_sizes = np.add.reduceat(lens, starts)
-            blk_ends = np.cumsum(blk_sizes)
-            blk_starts = blk_ends - blk_sizes
-            blob_cols.append(
-                [stream[a:b] for a, b in zip(blk_starts, blk_ends)]
-            )
-        yield pd.DataFrame(
-            {
-                "term": terms[starts],
-                "segment": segs[starts],
-                "n_docs": counts.astype(np.int32),
-                "max_tf": max_tf.astype(np.int32),
-                "min_dl": min_dl.astype(np.int32),
-                "doc_blob": blob_cols[0],
-                "tf_blob": blob_cols[1],
-                "dl_blob": blob_cols[2],
-            }
+        yield _blocks_frame(
+            pdf["term"].to_numpy()[order],
+            segs,
+            doc_ids,
+            pdf["tf"].to_numpy(dtype=np.int64)[order],
+            pdf["dl"].to_numpy(dtype=np.int64)[order],
+            starts,
+            segment_size,
         )
+
+    def pack_partition_sorted(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame, hold_tail: bool):
+            nonlocal carry
+            n = len(pdf)
+            if n == 0:
+                return None
+            starts = _group_starts(pdf)
+            if hold_tail:
+                # the last group may continue into the next Arrow batch —
+                # hold its rows back and prepend them to that batch
+                tail = starts[-1]
+                carry = pdf.iloc[tail:].reset_index(drop=True)
+                if tail == 0:
+                    return None
+                pdf = pdf.iloc[:tail]
+                starts = starts[:-1]
+                n = tail
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if doc_ids.min() < 0:
+                raise ValueError(
+                    f"pack_index requires doc_id >= 0 (got {doc_ids.min()})"
+                )
+            segs = pdf["segment"].to_numpy(dtype=np.int64)
+            out = _blocks_frame(
+                pdf["term"].to_numpy(),
+                segs,
+                doc_ids,
+                pdf["tf"].to_numpy(dtype=np.int64),
+                pdf["dl"].to_numpy(dtype=np.int64),
+                starts,
+                segment_size,
+            )
+            # ordering contract: within a group doc-id gaps are strictly
+            # positive — both an unsorted feed (Spark sort missing) and a
+            # duplicate (term, doc_id) posting violate it
+            within = np.ones(n, dtype=bool)
+            within[starts] = False
+            bad = within & (np.diff(doc_ids, prepend=doc_ids[0]) <= 0)
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    "pack_index(strategy='sorted'): rows are not strictly "
+                    "(term, segment, doc_id)-sorted at term "
+                    f"{pdf['term'].iloc[i]!r} doc_id {doc_ids[i]} — "
+                    "unsorted feed or duplicate posting."
+                )
+            return out
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            out = emit(pdf, hold_tail=True)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = emit(carry, hold_tail=False)
+            if out is not None:
+                yield out
 
     if num_partitions is not None:
         rep = p.repartition(int(num_partitions), "term", "segment")
     else:
         rep = p.repartition("term", "segment")
-    return rep.mapInPandas(pack_partition, schema=BLOCK_SCHEMA)
+    if strategy == "sorted":
+        rep = rep.sortWithinPartitions("term", "segment", "doc_id")
+        return rep.mapInPandas(pack_partition_sorted, schema=BLOCK_SCHEMA)
+    return rep.mapInPandas(pack_partition_lexsort, schema=BLOCK_SCHEMA)
 
 
 @dataclass
@@ -349,12 +478,14 @@ class PackedIndex:
         index: BM25Index,
         segment_size: int | str = 1 << 20,
         num_partitions: int | str | None = "auto",
+        strategy: str = "sorted",
     ) -> "PackedIndex":
         segment_size, num_partitions = _resolve_pack_params(
             index, segment_size, num_partitions
         )
         return cls(
-            blocks=pack_index(index, segment_size, num_partitions=num_partitions),
+            blocks=pack_index(index, segment_size, num_partitions=num_partitions,
+                              strategy=strategy),
             termstats=index.termstats,
             n_docs=index.n_docs,
             avgdl=index.avgdl,
@@ -644,6 +775,60 @@ def pack_lineage(spark: SparkSession, store_dir: str) -> DataFrame:
         "from_json(value, 'shard int, status string, doc_lo long, "
         "doc_hi long, n_postings long, n_blocks long, wall_sec double') r"
     ).select("r.*")
+
+
+def compact_if(
+    spark: SparkSession, store_dir: str, threshold_files: int = 256
+) -> tuple[PackedIndex, str]:
+    """Compact-on-quiesce for a sharded store (`pack_index_resumable`
+    layout): serve the merged union while it is cheap, compact when the
+    accumulated file count makes per-query open overhead matter.
+
+    BENCH.md r9 measured the shape this automates: a merged union costs
+    ~2.5× per-query file-open overhead vs monolithic, and the block-level
+    rewrite (no blob re-encode — `merged.write` just repartitions block
+    ROWS by segment) restores monolithic speed in ~1.6 s at 1B postings.
+    This function is the quiesce hook: call it between ingest waves.
+
+    Decision, returned as (index, decision):
+      * "already-compacted" — `{store_dir}/compacted` exists and its
+        `_source.json` signature (shard count + block-file count) matches
+        the live shards: read it, zero work. A later ingest wave changes
+        the signature, so a stale compaction is never served.
+      * "union" — file count ≤ `threshold_files`: serve `merge_packed`
+        directly (metadata-level, ~1.6 s at fan-in 64).
+      * "compacted" — file count exceeds the threshold: rewrite block
+        rows into `{store_dir}/compacted`, stamp the signature, serve it.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    shard_paths = sorted(_glob.glob(os.path.join(store_dir, "shard=*")))
+    if not shard_paths:
+        raise ValueError(
+            f"compact_if: no shard=* stores under {store_dir!r} — expected "
+            "a pack_index_resumable layout."
+        )
+    files = [
+        f
+        for p in shard_paths
+        for f in _glob.glob(os.path.join(p, "blocks", "*.parquet"))
+    ]
+    sig = {"n_shards": len(shard_paths), "n_files": len(files)}
+    comp = os.path.join(store_dir, "compacted")
+    marker = os.path.join(comp, "_source.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if _json.load(f) == sig:
+                return PackedIndex.read(spark, comp), "already-compacted"
+    if len(files) <= threshold_files:
+        return merge_packed(spark, shard_paths), "union"
+    merged = merge_packed(spark, shard_paths)
+    merged.write(comp)
+    with open(marker, "w") as f:
+        _json.dump(sig, f)
+    return PackedIndex.read(spark, comp), "compacted"
 
 
 # --------------------------- block-max WAND scoring -------------------------

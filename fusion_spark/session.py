@@ -71,7 +71,17 @@ def get_spark(
             # (no zstd codec in this environment)
             .config("spark.eventLog.compress", "false")
         )
-    for k, v in (extra_conf or {}).items():
+    # env-injected conf (JSON dict), applied after everything else: lets a
+    # parent process A/B a scheduler knob (e.g. spark.speculation for the
+    # r10 straggler experiment) in child workers without threading a new
+    # parameter through every tool
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    merged = {**(extra_conf or {})}
+    if env_conf:
+        import json as _json
+
+        merged.update(_json.loads(env_conf))
+    for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

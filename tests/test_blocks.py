@@ -416,6 +416,56 @@ def test_pack_num_partitions_identical_blocks(spark, docs_df):
     assert pack_shuffle_partitions(10**12, cores=8) == 65_536  # cap
 
 
+def test_pack_sorted_strategy_identical_to_lexsort(spark, docs_df):
+    """The r10 default kernel (Spark reduce-side sort + streaming
+    boundary/reduceat pass) must emit the IDENTICAL block set as the r7-r9
+    lexsort kernel — same groups, same stats, same blob bytes. Run with the
+    Arrow batch size forced tiny so groups span many batches and the
+    carry-over path (tail group held back and prepended to the next batch)
+    is actually exercised, including a group larger than one whole batch."""
+    from fusion_spark.blocks import pack_index
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+
+    def blobs(df):
+        return sorted(
+            (r["term"], r["segment"], r["n_docs"], r["max_tf"], r["min_dl"],
+             bytes(r["doc_blob"]), bytes(r["tf_blob"]), bytes(r["dl_blob"]))
+            for r in df.collect()
+        )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")  # 64 docs, seg 64 → hot-term groups >> 7 rows
+        tiny = blobs(pack_index(idx, segment_size=64, num_partitions=2,
+                                strategy="sorted"))
+        spark.conf.set(key, "10000")
+        ref = blobs(pack_index(idx, segment_size=64, num_partitions=2,
+                               strategy="lexsort"))
+        big = blobs(pack_index(idx, segment_size=64, num_partitions=2,
+                               strategy="sorted"))
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == ref
+    assert big == ref
+    # and a second layout, small segments (many tiny groups)
+    assert blobs(pack_index(idx, segment_size=16, strategy="sorted")) == blobs(
+        pack_index(idx, segment_size=16, strategy="lexsort")
+    )
+
+
+def test_pack_unknown_strategy_raises(spark, docs_df):
+    from fusion_spark.blocks import pack_index
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        pack_index(idx, segment_size=16, strategy="bogus")
+
+
 def test_pack_num_partitions_auto_default(spark, docs_df):
     """num_partitions defaults to "auto" (r9 verdict #1): resolution applies
     pack_shuffle_partitions to the real postings count at the session's
@@ -604,6 +654,66 @@ def test_pack_index_resumable_compact(spark, docs_df, queries_df, tmp_path):
     import os
 
     assert os.path.exists(os.path.join(store, "compacted", "meta.json"))
+
+
+def test_compact_if_thresholds_and_idempotence(spark, docs_df, queries_df, tmp_path):
+    """r10 #6: compact_if serves the cheap merged union below the file-count
+    threshold, triggers the block-level rewrite above it, and on a repeat
+    call with an unchanged store serves the existing compaction with zero
+    work — all three decisions query-identical to the monolithic pack."""
+    import glob
+    import os
+
+    from fusion_spark.blocks import compact_if, pack_index_resumable
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    store = str(tmp_path / "qstore")
+    pack_index_resumable(spark, idx, store, n_shards=3, segment_size=16)
+    n_files = len(glob.glob(os.path.join(store, "shard=*", "blocks", "*.parquet")))
+    assert n_files >= 2
+    mono = PackedIndex.from_index(idx, segment_size=16)
+
+    def topk(p):
+        return sorted(
+            (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in wand_search(p, queries_df, k=5, k1=2.5, b=0.2).collect()
+        )
+
+    want = topk(mono)
+
+    # below threshold → union, nothing written
+    p, decision = compact_if(spark, store, threshold_files=n_files)
+    assert decision == "union"
+    assert not os.path.exists(os.path.join(store, "compacted"))
+    assert topk(p) == want
+
+    # above threshold → compacted store written + signature stamped
+    p, decision = compact_if(spark, store, threshold_files=n_files - 1)
+    assert decision == "compacted"
+    assert os.path.exists(os.path.join(store, "compacted", "_source.json"))
+    assert topk(p) == want
+
+    # unchanged store → served from the existing compaction, zero rewrite
+    m = os.path.getmtime(os.path.join(store, "compacted", "meta.json"))
+    p, decision = compact_if(spark, store, threshold_files=n_files - 1)
+    assert decision == "already-compacted"
+    assert os.path.getmtime(os.path.join(store, "compacted", "meta.json")) == m
+    assert topk(p) == want
+
+    # a changed shard set invalidates the stale compaction: signature
+    # mismatch → the threshold decision re-runs, not "already". Simulate
+    # the change by dropping a shard (doc-id ranges stay disjoint, so the
+    # merge guard keeps holding — a copied shard would rightly trip it).
+    import shutil as _shutil
+
+    shards = sorted(glob.glob(os.path.join(store, "shard=*")))
+    assert len(shards) >= 2  # need one left after the drop
+    _shutil.rmtree(shards[-1])
+    _, decision = compact_if(spark, store, threshold_files=10_000)
+    assert decision == "union"
+
+    with pytest.raises(ValueError, match="no shard"):
+        compact_if(spark, str(tmp_path / "nothing"), threshold_files=1)
 
 
 def test_pack_index_resumable_empty_index_raises(spark, tmp_path):

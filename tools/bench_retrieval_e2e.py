@@ -18,6 +18,23 @@ findings triaged by the r9 straggler/hot_key classifier.
 
 Usage: python tools/bench_retrieval_e2e.py [n_docs] [vocab] [dl] [out_dir]
 Defaults: 14_400_000 200_000 70 <tmp>.
+
+STANDING MODE (r10 verdict #2): `--standing` runs the same composed path
+at a tenth of the at-size corpus (1.44M docs, ~10 min) as a per-round
+regression artifact with the expectations PINNED IN-PROCESS:
+
+  * identity gate — the WAND top-k (qid, rank, doc_id, score) lists are
+    compared against the exact v1 join scorer on the same queries; any
+    mismatch fails the run (exit 1), not just a report line;
+  * audit gate — the run manages its own event-log dir, replays
+    tools/audit_event_log.py over it after spark.stop(), and fails on
+    any finding NOT classified `straggler` by the rule-D triage (host
+    noise is triaged, plan pathologies fail);
+  * wall envelope — total_sec is reported for BENCH.md's standing table;
+    optional --max-total-sec N makes the envelope a hard gate too.
+
+Per-round invocation (BENCH.md "standing artifacts"):
+    python tools/bench_retrieval_e2e.py --standing
 """
 
 from __future__ import annotations
@@ -41,13 +58,31 @@ from fusion_spark.session import get_spark  # noqa: E402
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 14_400_000
-    vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-    dl = int(sys.argv[3]) if len(sys.argv) > 3 else 70
-    out_dir = sys.argv[4] if len(sys.argv) > 4 else tempfile.mkdtemp(prefix="rete2e_")
+    standing = "--standing" in sys.argv
+    max_total = None
+    args = []
+    it = iter(a for a in sys.argv[1:])
+    for a in it:
+        if a == "--standing":
+            continue
+        if a == "--max-total-sec":
+            max_total = float(next(it))
+            continue
+        args.append(a)
+    default_docs = 1_440_000 if standing else 14_400_000
+    n_docs = int(args[0]) if len(args) > 0 else default_docs
+    vocab = int(args[1]) if len(args) > 1 else 200_000
+    dl = int(args[2]) if len(args) > 2 else 70
+    out_dir = args[3] if len(args) > 3 else tempfile.mkdtemp(prefix="rete2e_")
+
+    elog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if standing and not elog_dir:
+        # standing mode manages its own event log — the audit gate needs one
+        elog_dir = tempfile.mkdtemp(prefix="rete2e_elog_")
+        os.environ["SPARK_GRAFT_EVENTLOG_DIR"] = elog_dir
 
     spark = get_spark(app_name="bench-retrieval-e2e", cores=32,
-                      shuffle_partitions=256)
+                      shuffle_partitions=256 if not standing else 64)
     T: dict[str, float] = {}
 
     def phase(tag):
@@ -96,6 +131,32 @@ def main():
     with phase("wand_top1000"):
         ranked = wand_search(store, queries, k=1000, k1=2.5, b=0.2).cache()
         n_ranked = ranked.count()
+
+    identity_ok = None
+    if standing:
+        # identity gate: WAND vs the exact v1 join scorer, same queries,
+        # same k — rank AND score identity (the north rule's criterion)
+        from fusion_spark.scoring import search as exact_search
+
+        with phase("identity_gate_exact"):
+            exact = {
+                (r["qid"], r["rank"]): (r["doc_id"], r["score"])
+                for r in exact_search(idx, queries, k=1000, k1=2.5, b=0.2,
+                                      zero_tail=False).collect()
+            }
+            wand = {
+                (r["qid"], r["rank"]): (r["doc_id"], r["score"])
+                for r in ranked.collect()
+            }
+            identity_ok = set(exact) == set(wand) and all(
+                exact[k][0] == wand[k][0]
+                and abs(exact[k][1] - wand[k][1]) <= 1e-9
+                for k in exact
+            )
+            if not identity_ok:
+                diffs = [k for k in exact
+                         if k not in wand or exact[k][0] != wand[k][0]][:5]
+                print(f"[standing] IDENTITY FAIL at {diffs}", file=sys.stderr)
 
     # three systems: the WAND lexical leg + two deterministic synthetic
     # legs (affine score transforms + rank jitter via doc_id hash) — the
@@ -147,10 +208,48 @@ def main():
         "phases": T,
         "total_sec": round(sum(T.values()), 1),
     }
-    print(json.dumps(report))
     spark.stop()
+    exit_code = 0
+    if standing:
+        # audit gate: replay the stage/plan audit over this run's event log;
+        # `straggler`-classified skew is host noise (triaged, reported, not
+        # fatal); anything else — hot keys, serial expansions, oversized
+        # broadcast-able joins — fails the standing artifact
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "audit_event_log",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "audit_event_log.py"),
+        )
+        audit = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(audit)
+        findings = []
+        for path in audit.iter_event_files([elog_dir]):
+            parsed = audit.parse_event_log_full(path)
+            findings += audit.audit_stages(parsed["stages"])
+            findings += audit.audit_sql_plans(parsed["plans"], parsed["accums"])
+        fatal = [f for f in findings if f.get("classification") != "straggler"]
+        report["standing"] = {
+            "identity_ok": identity_ok,
+            "audit_findings": len(findings),
+            "audit_fatal": len(fatal),
+            "stragglers_triaged": len(findings) - len(fatal),
+            "max_total_sec": max_total,
+        }
+        for f in fatal:
+            print(f"[standing] FATAL {f['rule']}: {f['detail']}",
+                  file=sys.stderr)
+        if not identity_ok or fatal:
+            exit_code = 1
+        if max_total is not None and report["total_sec"] > max_total:
+            print(f"[standing] wall {report['total_sec']} s exceeds the "
+                  f"--max-total-sec {max_total} envelope", file=sys.stderr)
+            exit_code = 1
+    print(json.dumps(report))
     if out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)
+    raise SystemExit(exit_code)
 
 
 if __name__ == "__main__":
