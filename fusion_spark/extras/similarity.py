@@ -353,6 +353,18 @@ def cosine_near_dups(
     return pairs.filter(F.col("cosine") >= min_cosine)
 
 
+def _q8_codes(vec_col: str) -> Column:
+    """The int8 code array of `quantize_embeddings` as a bare column
+    expression, so callers that only need the CODES (cosine is per-vector
+    scale-invariant) attach them without a self-join."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    return F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+
+
 def quantize_embeddings(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -365,12 +377,9 @@ def quantize_embeddings(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, F.abs))
     scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
-    qvec = F.when(
-        mx > 0,
-        F.transform(v, lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("tinyint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), scale.alias("scale"), qvec.alias("qvec")
+        F.col(id_col).alias("vec_id"), scale.alias("scale"),
+        _q8_codes(vec_col).alias("qvec"),
     )
 
 
@@ -817,6 +826,7 @@ def write_ivf_store(
     centroids: list[list[float]] | None = None,
     lloyd_iters: int = 2,
     train_fraction: float | None = None,
+    quantize: bool = False,
 ) -> None:
     """Write the corpus partitioned BY INVERTED LIST (`centroid=` dirs);
     centroids ride in meta.json. A query's n_probe lists map to directories
@@ -826,7 +836,19 @@ def write_ivf_store(
     `n_centroids="auto"` sizes the list count from the corpus (one count();
     `auto_n_centroids`: ~10k rows/list, power of two, clamped — see its
     cost model). `lloyd_iters`/`train_fraction` pass through to
-    `train_ivf_centroids` when centroids are not supplied."""
+    `train_ivf_centroids` when centroids are not supplied.
+
+    `quantize=True` additionally stores a symmetric-int8 copy of each
+    vector as a SIBLING COLUMN `vec_q8` (array<tinyint>, ~4× smaller than
+    the float column on disk) in the same files, and sorts each list by
+    vec_id for row-group locality. Cosine is per-vector scale-invariant,
+    so `vec_q8` ranks WITHOUT the scale factor — a quantized search
+    (`ivf_cosine_topk_store(use_quantized=True)`) column-prunes the float
+    column entirely and reads ~¼ the bytes per probed list, which is the
+    read-budget lever: at equal bytes it probes ~4× the lists. The r9
+    messy-10M table showed recall is capture-limited (which lists you
+    read), not precision-limited — that is exactly the trade this column
+    buys into."""
     import json as _json
     import os as _os
 
@@ -838,18 +860,22 @@ def write_ivf_store(
             lloyd_iters=lloyd_iters, train_fraction=train_fraction,
         )
     assigned = assign_ivf(embeddings, centroids, id_col, vec_col)
-    (
+    rows = (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
         .join(assigned, "vec_id")
-        # one task per inverted list at write time (see write_lsh_store)
-        .repartition("centroid")
-        .write.mode("overwrite")
-        .partitionBy("centroid")
-        .parquet(f"{path}/vectors")
     )
+    if quantize:
+        # inline column expression, NOT a quantize_embeddings self-join —
+        # the codes are pure functions of the vector, so no shuffle
+        rows = rows.withColumn("vec_q8", _q8_codes("vec"))
+    # one task per inverted list at write time (see write_lsh_store)
+    rows = rows.repartition("centroid")
+    if quantize:
+        rows = rows.sortWithinPartitions("vec_id")
+    rows.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
     _os.makedirs(path, exist_ok=True)
     with open(f"{path}/meta.json", "w") as f:
-        _json.dump({"centroids": centroids}, f)
+        _json.dump({"centroids": centroids, "quantized": bool(quantize)}, f)
 
 
 def calibrate_ivf_probe_curve(
@@ -859,6 +885,7 @@ def calibrate_ivf_probe_curve(
     k: int = 10,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    store_fraction: float | None = None,
 ) -> list[float]:
     """Empirical recall@k-vs-n_probe curve for a written IVF store.
 
@@ -876,13 +903,31 @@ def calibrate_ivf_probe_curve(
     calibration queries; valid insofar as those queries are drawn from
     the production query distribution (same assumption the LSH knob's
     neighbor-cosine hypothesis encodes). Monotone, ends at exactly 1.0
-    (probing all lists IS brute force)."""
+    (probing all lists IS brute force).
+
+    `store_fraction` bounds the one full-store cost this pays: the brute
+    labeling pass runs over a seed-pinned uniform row sample of the store
+    (the `centroid` partition column rides along, so probe-rank
+    membership needs no re-assignment). The estimated quantity — the
+    distribution of "which probe-rank list holds the j-th nearest
+    neighbor" — is a RATIO of list captures, which uniform row sampling
+    preserves in expectation; the k-th neighbor within the sample is
+    farther than the true k-th, but its list membership is drawn from
+    the same geometry. tools/bench_ivf_calibration_sample.py measures
+    the residual against the documented 64-vs-256-query band."""
     import json as _json
 
     with open(f"{path}/meta.json") as f:
         centroids = _json.load(f)["centroids"]
     n_c = len(centroids)
     corpus = spark.read.parquet(f"{path}/vectors")
+    if store_fraction is not None:
+        if not 0.0 < store_fraction <= 1.0:
+            raise ValueError(
+                f"store_fraction must be in (0, 1], got {store_fraction}"
+            )
+        if store_fraction < 1.0:
+            corpus = corpus.sample(fraction=float(store_fraction), seed=42)
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
     truth = cosine_topk(corpus, q, k=k, id_col="vec_id", vec_col="vec")
     neigh = truth.select("qid", "vec_id").join(
@@ -920,6 +965,41 @@ def calibrate_ivf_probe_curve(
     return [round(c, 4) for c in curve]
 
 
+def ivf_store_column_bytes(
+    path: str, columns: list[str], probe_set: list[int] | None = None
+) -> int:
+    """Deterministic read-bytes model for a probed IVF-store scan, straight
+    from the parquet footers: the total compressed size of the requested
+    COLUMN CHUNKS in the probed `centroid=` partitions (all partitions when
+    probe_set is None). This is exactly what a column-pruned,
+    partition-pruned Spark scan must pull off storage — the quantity a
+    100× corpus multiplies — and unlike wall-clock it has no host noise.
+    Used by tools/bench_ivf_rerank.py to put recall and read budget in the
+    same table."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    want = None if probe_set is None else {int(c) for c in probe_set}
+    total = 0
+    for f in _glob.glob(_os.path.join(path, "vectors", "centroid=*", "*.parquet")):
+        cid = int(_os.path.basename(_os.path.dirname(f)).split("=", 1)[1])
+        if want is not None and cid not in want:
+            continue
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                # nested (array) columns name their leaf e.g.
+                # "vec.list.element" — match on the root field name
+                root = col.path_in_schema.split(".", 1)[0]
+                if root in columns:
+                    total += col.total_compressed_size
+    return int(total)
+
+
 def choose_ivf_n_probe(curve: list[float], target_recall: float) -> int:
     """Smallest n_probe whose calibrated expected recall meets the target
     (all lists — exact brute force — if the target is unreachable)."""
@@ -942,6 +1022,8 @@ def ivf_cosine_topk_store(
     max_query_rows: int = 100_000,
     target_recall: float | None = None,
     probe_curve: list[float] | None = None,
+    use_quantized: bool = False,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """IVF top-k against a centroid-partitioned store: probe assignment via
     the vectorized UDF, the probe SET (≤ n_centroids ids, independent of
@@ -952,7 +1034,26 @@ def ivf_cosine_topk_store(
     `probe_curve` (from `calibrate_ivf_probe_curve`, computed once
     offline per layout) and n_probe resolves to the cheapest probe count
     whose expected recall meets the target. target_recall=1.0 probes
-    every list == exact brute force."""
+    every list == exact brute force.
+
+    `use_quantized=True` (store written with `quantize=True`) scans the
+    int8 `vec_q8` column INSTEAD of the float column — parquet column
+    pruning makes the probed read ~4× cheaper in bytes, so the same read
+    budget affords ~4× the probe count (the recall lever the r9 messy-10M
+    table asked for). Cosine over the codes is the exact cosine of the
+    dequantized vector (per-vector scale cancels), so the only ranking
+    error is int8 rounding noise — ~1e-3 of cosine, which can flip
+    near-ties at the k boundary.
+
+    `rerank_k=C` adds the exact second stage: keep the top-C candidates
+    per query by quantized score, then re-score ONLY those with the float
+    column and return the exact-cosine top-k. The float read is pruned to
+    the probed partitions and, because `quantize=True` sorts each list by
+    vec_id, to the row groups containing candidates (In-filter pushdown —
+    raise spark.sql.parquet.pushdown.inFilterThreshold above the
+    candidate count, else Spark falls back to a min/max range that prunes
+    nothing). With rerank_k ≥ the probed list sizes this degenerates to
+    the plain float scan of the same probe set (asserted in tests)."""
     import json as _json
 
     if target_recall is not None:
@@ -965,7 +1066,21 @@ def ivf_cosine_topk_store(
         n_probe = choose_ivf_n_probe(probe_curve, target_recall)
 
     with open(f"{path}/meta.json") as f:
-        centroids = _json.load(f)["centroids"]
+        meta = _json.load(f)
+    centroids = meta["centroids"]
+    if (use_quantized or rerank_k is not None) and not meta.get("quantized"):
+        raise ValueError(
+            "use_quantized/rerank_k need a store written with "
+            "write_ivf_store(quantize=True) — this store has no vec_q8 column"
+        )
+    if rerank_k is not None and not use_quantized:
+        raise ValueError(
+            "rerank_k is the exact second stage OVER the quantized first "
+            "stage — pass use_quantized=True (a float first stage has "
+            "nothing cheaper to re-rank)"
+        )
+    if rerank_k is not None and rerank_k < k:
+        raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
     probe_ids = _probe_ids_udf(centroids, n_probe)
     probes = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
@@ -979,7 +1094,46 @@ def ivf_cosine_topk_store(
     probe_set = sorted({r["centroid"] for r in prows})
     probes_lit = spark.createDataFrame(prows, probes.schema)
     corpus = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe_set))
-    return _cosine_topk_ranked(F.broadcast(probes_lit).join(corpus, "centroid"), k)
+    if not use_quantized:
+        return _cosine_topk_ranked(F.broadcast(probes_lit).join(corpus, "centroid"), k)
+
+    # stage 1: rank on the int8 codes only — select BEFORE the join so the
+    # scan's ReadSchema never includes the float column
+    q8 = corpus.select("vec_id", "centroid", F.col("vec_q8").alias("vec"))
+    approx = _cosine_topk_ranked(
+        F.broadcast(probes_lit).join(q8, "centroid"),
+        k if rerank_k is None else int(rerank_k),
+    )
+    if rerank_k is None:
+        return approx
+
+    # stage 2: exact re-score of the candidates with the float column.
+    # Candidate ids are bounded by |queries| × rerank_k (queries are already
+    # bounded by max_query_rows above); the literal In filter on vec_id is
+    # what lets parquet prune row groups inside the probed lists.
+    cand = _collect_bounded(
+        approx.select("qid", "vec_id"),
+        max_query_rows * max(int(rerank_k), 1),
+        "ivf_cosine_topk_store(rerank)",
+    )
+    cand_ids = sorted({r["vec_id"] for r in cand})
+    qvecs = {r["qid"]: r["qvec"] for r in prows}
+    from pyspark.sql.types import StructField, StructType
+
+    pair_schema = StructType([
+        StructField("qid", probes_lit.schema["qid"].dataType),
+        StructField("qvec", probes_lit.schema["qvec"].dataType),
+        StructField("vec_id", corpus.schema["vec_id"].dataType),
+    ])
+    pairs = spark.createDataFrame(
+        [(r["qid"], qvecs[r["qid"]], r["vec_id"]) for r in cand], pair_schema
+    )
+    exact_corpus = corpus.select("vec_id", "vec").filter(
+        F.col("vec_id").isin(cand_ids)
+    )
+    return _cosine_topk_ranked(
+        F.broadcast(pairs).join(exact_corpus, "vec_id"), k
+    )
 
 
 def lsh_cosine_topk(

@@ -1309,3 +1309,112 @@ def test_train_ivf_centroids_small_sample_falls_back_and_raises(spark):
     assert len(cents) == 4
     with pytest.raises(ValueError, match="n_centroids"):
         similarity.train_ivf_centroids(embs, n_centroids=64, lloyd_iters=0)
+
+
+def test_ivf_quantized_store_and_rerank(spark, tmp_path):
+    """r10 #5: the quantized read path and the exact rerank stage.
+
+    (a) a quantize=True store carries the vec_q8 sibling column and its
+        on-disk column bytes are well under half the float column's
+        (footer model — the read-budget claim in bytes, no wall noise);
+    (b) use_quantized=True ranks via the codes only: the scan's ReadSchema
+        must NOT contain the float column;
+    (c) rerank_k >= every probed list size degenerates to the plain float
+        scan of the same probe set — exact equality, scores included;
+    (d) guards: quantized search on an unquantized store, rerank without
+        use_quantized, rerank_k < k."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, [math.sin(i * 0.7 + j) + (i % 5) for j in range(32)])
+            for i in range(160)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id % 11 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    path = str(tmp_path / "ivf_q8")
+    similarity.write_ivf_store(embs, path, n_centroids=8, lloyd_iters=1,
+                               quantize=True)
+
+    # (a) bytes model: q8 column reads well under half the float column
+    b_fp = similarity.ivf_store_column_bytes(path, ["vec"])
+    b_q8 = similarity.ivf_store_column_bytes(path, ["vec_q8"])
+    # page/dictionary overhead dominates a 160-row fixture — the honest
+    # unit bound is <0.6×; the ~0.25-0.3× at-size ratio is measured by
+    # tools/bench_ivf_rerank.py at 10M where overhead amortizes
+    assert 0 < b_q8 < 0.6 * b_fp
+    # probe_set subsetting prunes the model too
+    assert similarity.ivf_store_column_bytes(path, ["vec"], probe_set=[0]) < b_fp
+
+    # (b) quantized scan never touches the float column
+    got_q8 = similarity.ivf_cosine_topk_store(
+        spark, path, qv, k=5, n_probe=8, use_quantized=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_q8.explain("formatted")
+    plan = buf.getvalue()
+    scans = re.findall(r"ReadSchema: \S+", plan)
+    assert scans and all("vec_q8" in s or "vec:" not in s for s in scans)
+    assert not any(re.search(r"vec:array", s) for s in scans)
+
+    # int8 rounding noise only: probing ALL lists, the quantized top-5 SET
+    # matches brute force on this well-separated fixture
+    brute = similarity.cosine_topk(embs, qv, k=5)
+    ids = lambda df: {  # noqa: E731
+        (r["qid"], r["vec_id"]) for r in df.collect()}
+    assert ids(got_q8) == ids(brute)
+
+    # (c) rerank over all candidates == plain float scan, scores equal
+    got_rr = similarity.ivf_cosine_topk_store(
+        spark, path, qv, k=5, n_probe=3, use_quantized=True, rerank_k=1000)
+    got_fp = similarity.ivf_cosine_topk_store(spark, path, qv, k=5, n_probe=3)
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["rank"], r["vec_id"], round(r["cosine"], 12))
+        for r in df.collect())
+    assert key(got_rr) == key(got_fp)
+
+    # (d) guards
+    plain = str(tmp_path / "ivf_plain")
+    similarity.write_ivf_store(embs, plain, n_centroids=4, lloyd_iters=0)
+    with pytest.raises(ValueError, match="vec_q8"):
+        similarity.ivf_cosine_topk_store(
+            spark, plain, qv, k=5, use_quantized=True)
+    with pytest.raises(ValueError, match="use_quantized"):
+        similarity.ivf_cosine_topk_store(
+            spark, path, qv, k=5, rerank_k=20)
+    with pytest.raises(ValueError, match="rerank_k"):
+        similarity.ivf_cosine_topk_store(
+            spark, path, qv, k=5, use_quantized=True, rerank_k=2)
+
+
+def test_ivf_calibration_store_fraction(spark, tmp_path):
+    """r10 #7: store_fraction runs the brute labeling pass on a seed-pinned
+    row sample. The sampled curve keeps the structural invariants (monotone,
+    ends at 1.0 — probing every list captures every sampled neighbor) and
+    stays near the full curve on a well-clustered fixture; bad fractions
+    raise. Fidelity at size is tools/bench_ivf_calibration_sample.py."""
+    rows = [(i, [math.sin(i * 0.7 + j) + (i % 5) for j in range(8)])
+            for i in range(400)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cal_q = embs.filter("vec_id % 13 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    path = str(tmp_path / "ivf_frac")
+    similarity.write_ivf_store(embs, path, n_centroids=8, lloyd_iters=1)
+
+    full = similarity.calibrate_ivf_probe_curve(spark, path, cal_q, k=5)
+    samp = similarity.calibrate_ivf_probe_curve(
+        spark, path, cal_q, k=5, store_fraction=0.5)
+    assert len(samp) == len(full) == 8
+    assert all(b >= a - 1e-12 for a, b in zip(samp, samp[1:]))
+    assert samp[-1] == 1.0
+    # five distinct residues per centroid: halving rows barely moves which
+    # LIST the near neighbors live in — generous bound, structure not luck
+    assert max(abs(a - b) for a, b in zip(samp, full)) <= 0.35
+
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="store_fraction"):
+            similarity.calibrate_ivf_probe_curve(
+                spark, path, cal_q, k=5, store_fraction=bad)
+    # fraction 1.0 is exactly the full pass
+    assert similarity.calibrate_ivf_probe_curve(
+        spark, path, cal_q, k=5, store_fraction=1.0) == full
