@@ -778,7 +778,7 @@ def pack_lineage(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def compact_if(
-    spark: SparkSession, store_dir: str, threshold_files: int = 256
+    spark: SparkSession, store_dir: str, threshold_files: int = 48
 ) -> tuple[PackedIndex, str]:
     """Compact-on-quiesce for a sharded store (`pack_index_resumable`
     layout): serve the merged union while it is cheap, compact when the
@@ -789,6 +789,14 @@ def compact_if(
     rewrite (no blob re-encode — `merged.write` just repartitions block
     ROWS by segment) restores monolithic speed in ~1.6 s at 1B postings.
     This function is the quiesce hook: call it between ingest waves.
+
+    The default `threshold_files` encodes that measurement: the union's
+    per-query overhead is already ~2.5× at fan-in 64 (≈64 block files in
+    the fan-in bench's layout) while the rewrite is a one-time ~1.6 s, so
+    the hook fires BELOW that point (48) and stays on the zero-work union
+    path at single-digit fan-in, where the union is within noise of
+    monolithic. `tools/bench_merge_fanin.py` reports the decision this
+    default takes at its fan-in.
 
     Decision, returned as (index, decision):
       * "already-compacted" — `{store_dir}/compacted` exists and its

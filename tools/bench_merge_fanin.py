@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from fusion_spark.blocks import PackedIndex, merge_packed, wand_search  # noqa: E402
+from fusion_spark.blocks import (  # noqa: E402
+    PackedIndex, compact_if, merge_packed, wand_search,
+)
 from fusion_spark.indexing import _finalize, build_index  # noqa: E402
 from fusion_spark.session import get_spark  # noqa: E402
 
@@ -72,7 +74,9 @@ def main() -> None:
     report["pack_mono_sec"] = round(time.perf_counter() - t0, 1)
     mono = PackedIndex.read(spark, f"{out_dir}/mono")
 
-    # one pack job per shard — the per-ingest-job shape
+    # one pack job per shard — the per-ingest-job shape; shards live under
+    # one store root in the pack_index_resumable shard=* layout so the
+    # compact_if quiesce hook can evaluate the same store below
     t0 = time.perf_counter()
     shard_paths = []
     for i in range(n_shards):
@@ -81,7 +85,7 @@ def main() -> None:
             disk_idx.postings.filter(f"doc_id >= {lo} and doc_id < {hi}"),
             spark.read.parquet(f"{out_dir}/docstats")
             .filter(f"doc_id >= {lo} and doc_id < {hi}"), "bm25")
-        p = f"{out_dir}/shard{i:03d}"
+        p = f"{out_dir}/store/shard={i:03d}"
         PackedIndex.from_index(si, segment_size=seg, num_partitions=4).write(p)
         shard_paths.append(p)
     report["pack_shards_sec"] = round(time.perf_counter() - t0, 1)
@@ -135,6 +139,30 @@ def main() -> None:
         set(wc) == set(wo)
         and all([d for _, d, _ in wc[q]] == [d for _, d, _ in wo[q]] for q in wo)
     )
+
+    # compact-on-quiesce hook (r10 #6): the SAME store evaluated by
+    # compact_if at its measured-calibrated default threshold — the
+    # per-window ingest loop calls this between waves instead of
+    # hand-choosing union vs rewrite. Expected: "union" at fan-in 4,
+    # "compacted" at fan-in 64 (and "already-compacted" on the repeat).
+    import glob
+
+    report["store_block_files"] = len(
+        glob.glob(f"{out_dir}/store/shard=*/blocks/*.parquet"))
+    t0 = time.perf_counter()
+    ci, decision = compact_if(spark, f"{out_dir}/store")
+    report["compact_if_decision"] = decision
+    report["compact_if_sec"] = round(time.perf_counter() - t0, 2)
+    ci.termstats.persist().count()
+    wq = topk(ci)
+    report["compact_if_eq_mono"] = bool(
+        set(wq) == set(wo)
+        and all([d for _, d, _ in wq[q]] == [d for _, d, _ in wo[q]] for q in wo)
+    )
+    t0 = time.perf_counter()
+    _, redecision = compact_if(spark, f"{out_dir}/store")
+    report["compact_if_repeat_decision"] = redecision
+    report["compact_if_repeat_sec"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(report))
     spark.stop()

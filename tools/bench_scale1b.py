@@ -23,8 +23,10 @@ boundary segment and raise — the guard's unit tests cover that).
 Set SPARK_GRAFT_EVENTLOG_DIR to audit the run (tools/audit_event_log.py —
 the r9 classifier labels any task-skew findings straggler vs hot_key).
 
-Usage: python tools/bench_scale1b.py [n_docs] [vocab] [dl] [out_dir]
+Usage: python tools/bench_scale1b.py [n_docs] [vocab] [dl] [out_dir] [--keep]
 Defaults: 14_400_000 200_000 70 <tmp>.  ~45-75 min at local[32]/24g.
+--keep skips the tmp cleanup so tools/bench_wand_tail.py can reuse the
+docs/postings/mono store (pass the same out_dir).
 """
 
 from __future__ import annotations
@@ -52,10 +54,12 @@ def du(path: str) -> int:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 14_400_000
-    vocab = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-    dl = int(sys.argv[3]) if len(sys.argv) > 3 else 70
-    out_dir = sys.argv[4] if len(sys.argv) > 4 else tempfile.mkdtemp(prefix="scale1b_")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keep = "--keep" in sys.argv  # leave the store for tools/bench_wand_tail.py
+    n_docs = int(args[0]) if len(args) > 0 else 14_400_000
+    vocab = int(args[1]) if len(args) > 1 else 200_000
+    dl = int(args[2]) if len(args) > 2 else 70
+    out_dir = args[3] if len(args) > 3 else tempfile.mkdtemp(prefix="scale1b_")
 
     spark = get_spark(app_name="bench-scale1b", cores=32, shuffle_partitions=256)
     report: dict = {"n_docs": n_docs, "vocab": vocab, "dl": dl,
@@ -231,7 +235,7 @@ def main():
                              "shards": sum(du(p) for p in shard_paths)}
     print(json.dumps(report))
     spark.stop()
-    if out_dir.startswith(tempfile.gettempdir()):
+    if not keep and out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
