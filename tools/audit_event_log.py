@@ -257,8 +257,12 @@ def audit_stages(
                     "hot_key": "salt the key or let AQE skew-join split it",
                     "straggler": (
                         "records match the median — a host/IO straggler, "
-                        "not a partitioning bug; speculative execution "
-                        "territory"
+                        "not a partitioning bug; enable spark.speculation "
+                        "on multi-host clusters (inert under local[*]: "
+                        "TaskSchedulerImpl gates the speculation thread on "
+                        "!isLocal, and single-host deployments can never "
+                        "place a copy — hasAttemptOnHost excludes hosts "
+                        "already running an attempt; see BENCH.md r10)"
                     ),
                     "unknown": (
                         "no per-task record metrics to classify; inspect "
