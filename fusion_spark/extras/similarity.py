@@ -18,6 +18,15 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Max literal ids per In() filter in the rerank exact re-read. Parquet
+# pushdown compiles an In to a left-deep or(eq, ...) chain evaluated
+# recursively per batch — a few thousand values overflow the task stack
+# (see ivf_cosine_topk_store). 256 keeps the pushed tree shallow while
+# staying above spark.sql.parquet.pushdown.inFilterThreshold's useful
+# range, so callers who raise that conf (to 257+) get precise row-group
+# and dictionary pruning per chunk.
+_RERANK_IN_CHUNK = 256
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1128,9 +1137,23 @@ def ivf_cosine_topk_store(
     pairs = spark.createDataFrame(
         [(r["qid"], qvecs[r["qid"]], r["vec_id"]) for r in cand], pair_schema
     )
-    exact_corpus = corpus.select("vec_id", "vec").filter(
-        F.col("vec_id").isin(cand_ids)
-    )
+    # One In per ≤_RERANK_IN_CHUNK sorted ids, unioned: Spark pushes an In
+    # to parquet as a LEFT-DEEP or(eq, or(eq, ...)) chain whose recursive
+    # evaluation overflows the task stack once the list reaches a few
+    # thousand values (hit at |queries|×rerank_k = 2,560 with
+    # spark.sql.parquet.pushdown.inFilterThreshold raised above the list
+    # size). Chunking caps every pushed predicate tree at chunk depth no
+    # matter what the session conf says; each chunk scan keeps the
+    # centroid-partition pruning from `corpus`, and sorted ids keep the
+    # chunk's min/max range (the default-threshold fallback filter) tight.
+    base = corpus.select("vec_id", "vec")
+    if not cand_ids:  # empty store/queries: keep the (empty) output schema
+        exact_corpus = base.filter(F.lit(False))
+    else:
+        exact_corpus = None
+        for i in range(0, len(cand_ids), _RERANK_IN_CHUNK):
+            part = base.filter(F.col("vec_id").isin(cand_ids[i:i + _RERANK_IN_CHUNK]))
+            exact_corpus = part if exact_corpus is None else exact_corpus.unionByName(part)
     return _cosine_topk_ranked(
         F.broadcast(pairs).join(exact_corpus, "vec_id"), k
     )

@@ -1387,6 +1387,52 @@ def test_ivf_quantized_store_and_rerank(spark, tmp_path):
             spark, path, qv, k=5, use_quantized=True, rerank_k=2)
 
 
+def test_ivf_rerank_chunks_candidate_in_filter(spark, tmp_path):
+    """r10 SOE regression: the rerank exact re-read must never hand parquet
+    one In() with the whole candidate list — Spark pushes In as a LEFT-DEEP
+    or(eq, ...) chain whose recursive evaluation overflows the task stack
+    at a few thousand values (hit at 2,560 candidates with
+    spark.sql.parquet.pushdown.inFilterThreshold raised above the list
+    size, tools/bench_ivf_rerank.py at 1M/10M). With >_RERANK_IN_CHUNK
+    distinct candidates the stage-2 plan must contain a Union of chunked
+    scans, and the result must still equal the plain float path — run
+    under the hostile threshold so each chunk's or-chain is actually
+    pushed."""
+    import contextlib
+    import io
+
+    rows = [(i, [math.sin(i * 0.37 + j) + (i % 7) for j in range(16)])
+            for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id % 29 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    path = str(tmp_path / "ivf_chunk")
+    similarity.write_ivf_store(embs, path, n_centroids=4, lloyd_iters=1,
+                               quantize=True)
+
+    old = spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+    try:
+        # rerank_k >= the whole store: every probed row is a candidate, so
+        # cand_ids = 300 distinct > _RERANK_IN_CHUNK = 256 -> 2 chunks
+        got_rr = similarity.ivf_cosine_topk_store(
+            spark, path, qv, k=5, n_probe=4, use_quantized=True,
+            rerank_k=1000)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got_rr.explain("formatted")
+        assert "Union" in buf.getvalue()
+
+        got_fp = similarity.ivf_cosine_topk_store(spark, path, qv, k=5,
+                                                  n_probe=4)
+        key = lambda df: sorted(  # noqa: E731
+            (r["qid"], r["rank"], r["vec_id"], round(r["cosine"], 12))
+            for r in df.collect())
+        assert key(got_rr) == key(got_fp)
+    finally:
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", old)
+
+
 def test_ivf_calibration_store_fraction(spark, tmp_path):
     """r10 #7: store_fraction runs the brute labeling pass on a seed-pinned
     row sample. The sampled curve keeps the structural invariants (monotone,

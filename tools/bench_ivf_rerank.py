@@ -74,10 +74,13 @@ def main():
     out_dir = sys.argv[4] if len(sys.argv) > 4 else tempfile.mkdtemp(prefix="ivfrr_")
 
     spark = get_spark(app_name="bench-ivf-rerank", cores=32, extra_conf={
-        # the rerank stage's exact re-read pushes an In(vec_id) filter with
-        # |queries|×rerank_k values; the default threshold (10) would fall
-        # back to a min/max range that prunes nothing
-        "spark.sql.parquet.pushdown.inFilterThreshold": "100000",
+        # the rerank stage's exact re-read chunks its In(vec_id) filter at
+        # _RERANK_IN_CHUNK=256 ids per scan; threshold 257 pushes each
+        # chunk as a precise (shallow) or-chain instead of the default-10
+        # min/max fallback. Raising it to cover the WHOLE candidate list
+        # was the r10 StackOverflow: parquet evaluates the pushed or-chain
+        # recursively, and 2,560 literals blew the task stack.
+        "spark.sql.parquet.pushdown.inFilterThreshold": "257",
     })
     spark.sparkContext.addPyFile(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_ann.py")
