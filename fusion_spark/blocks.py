@@ -342,12 +342,28 @@ def pack_index(
     it: within a group doc-id deltas must be strictly positive (catches
     an unsorted feed and duplicate (term, doc) postings alike) and any
     violation raises with the offending term."""
-    if strategy not in ("sorted", "lexsort"):
-        raise ValueError(f"pack_index: unknown strategy {strategy!r}")
     segment_size, num_partitions = _resolve_pack_params(
         index, segment_size, num_partitions
     )
-    p = index.postings.withColumn(
+    return _pack_postings(index.postings, segment_size, num_partitions, strategy)
+
+
+def _pack_postings(
+    postings: DataFrame,
+    segment_size: int,
+    num_partitions: int | None,
+    strategy: str,
+) -> DataFrame:
+    """(term, doc_id, tf, dl) rows → BLOCK_SCHEMA rows with RESOLVED knobs.
+
+    The kernel half of `pack_index`, callable on a raw postings DataFrame —
+    which may be parquet-backed (the two-phase build→pack path) or fully
+    LAZY (the fused `build_packed` path, where the postings expression
+    pipelines straight from tokenize through the aggregation shuffle into
+    this repartition without ever being materialized)."""
+    if strategy not in ("sorted", "lexsort"):
+        raise ValueError(f"pack_index: unknown strategy {strategy!r}")
+    p = postings.withColumn(
         "segment", F.expr(f"doc_id div {int(segment_size)}")
     )
 
@@ -775,6 +791,326 @@ def pack_lineage(spark: SparkSession, store_dir: str) -> DataFrame:
         "from_json(value, 'shard int, status string, doc_lo long, "
         "doc_hi long, n_postings long, n_blocks long, wall_sec double') r"
     ).select("r.*")
+
+
+# ------------------------- fused build → packed store -----------------------
+
+
+def _estimate_pack_stats(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    mode: str,
+    n_docs: int,
+    sample_fraction: float,
+    seed: int,
+) -> DataFrame:
+    """Sampled termstats-SHAPED estimate (term, df) for the pack autos.
+
+    One tokenize+aggregate pass over a `sample_fraction` doc sample; per-term
+    df scales by 1/f — unbiased for the high-df terms that dominate the
+    `auto_segment_size` block model (rare terms saturate at min(df,
+    n_segments) ≈ df ≈ 1 either way), and Σ df scales to an unbiased total-
+    postings estimate for `pack_shuffle_partitions`. Corpora whose expected
+    sample is under 4,000 docs fall back to f=1.0, making the estimate EXACT
+    — small inputs get deterministic autos (the undersized-sample failure
+    shape of the r9 IVF train_fraction ADVICE). The threshold is measured,
+    not guessed: on the 200k-term Zipf bench vocabulary a 1,000-doc sample
+    misses enough of the rare-term tail to move `auto_segment_size` by
+    several notches (harmlessly — at that corpus size every candidate S
+    yields one segment per term), while 4,000-doc samples resolve
+    IDENTICALLY to the exact model at 200k, 500k and 1.44M docs
+    (BENCH.md r10 fused-build section)."""
+    from fusion_spark.indexing import _postings_from_tokens
+    from fusion_spark.tokenize import tokenize
+
+    f_eff = 1.0 if n_docs * sample_fraction < 4000 else float(sample_fraction)
+    sampled = docs if f_eff >= 1.0 else docs.sample(fraction=f_eff, seed=seed)
+    toks_s = tokenize(
+        sampled.select(doc_id_col, text_col), text_col=text_col, mode=mode
+    ).withColumn("dl", F.size("tokens"))
+    return (
+        _postings_from_tokens(toks_s, doc_id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .select(
+            "term",
+            F.least(
+                F.greatest(
+                    F.round(F.col("df_s") / F.lit(f_eff)).cast("long"),
+                    F.lit(1),
+                ),
+                F.lit(int(n_docs)),
+            ).alias("df"),
+        )
+    )
+
+
+def build_packed(
+    docs: DataFrame,
+    store_dir: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    variant: str = "bm25",
+    segment_size: int | str = "auto",
+    num_partitions: int | str | None = "auto",
+    strategy: str = "sorted",
+    stats_sample_fraction: float = 0.02,
+    seed: int = 7,
+    timings: dict | None = None,
+) -> PackedIndex:
+    """Fused corpus → packed-store build: tokenize, posting aggregation and
+    block packing run as ONE Spark job, never materializing the postings
+    table between them.
+
+    The two-phase path (`build_index` → parquet → `pack_index`) writes the
+    full (term, doc_id, tf, dl) table to disk and reads it back before the
+    pack shuffle — at ~1B postings that intermediate is the single largest
+    IO in the pipeline (BENCH.md r10: build_write_postings 449 s + the pack
+    stage's re-read of the same rows), and at the 10^12-file target it is a
+    table nobody queries. Here the postings expression pipelines straight
+    from the tokenizer through the aggregation shuffle into the pack
+    repartition — two shuffles total, map-side partial aggregation intact,
+    and the only rows ever written are the compressed blocks (~5× smaller
+    than the postings parquet). The reference build has the same shape for
+    the same reason: `bm25.py:58-75` streams token counts straight into its
+    in-memory index dicts with no intermediate store. Keep the two-phase
+    path when you WANT the postings table (it is the resume point of
+    `build_index_resumable` and the input to `write_term_bucketed_store`).
+
+    Identity contract (tested): the resulting store is equal to the
+    two-phase store over the same corpus — same block set byte-for-byte,
+    same termstats rows, same meta — so WAND/exact results are unchanged.
+
+    Stats without the materialized index:
+      * n_docs / avgdl / id_range — one tokenize-only pass (map + scalar
+        agg, no shuffle; token-less docs count toward both, as in
+        `_finalize`).
+      * segment_size/num_partitions "auto" — resolved from a
+        `stats_sample_fraction` doc-sampled df estimate
+        (`_estimate_pack_stats`; exact below 1,000 expected sample docs).
+        Pass ints to skip the sampled pass entirely.
+      * termstats — derived EXACTLY from the written blocks (df = Σ n_docs
+        per term over the store: blocks partition the (term, doc) posting
+        set, so the sum is the document frequency), then idf against the
+        exact n_docs. No approximation anywhere in scoring inputs.
+
+    `timings`, if a dict, receives per-phase walls (stats_pass,
+    auto_resolution, pack_write, termstats_write) for bench attribution.
+    """
+    import json as _json
+    import time as _time
+
+    from fusion_spark.indexing import idf_expr, _postings_from_tokens
+    from fusion_spark.tokenize import tokenize
+
+    t_mark = _time.perf_counter()
+
+    def _lap(tag: str) -> None:
+        nonlocal t_mark
+        if timings is not None:
+            now = _time.perf_counter()
+            timings[tag] = round(now - t_mark, 1)
+            t_mark = now
+
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    toks = tokenize(base, text_col="text", mode=mode).withColumn(
+        "dl", F.size("tokens")
+    )
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    n_docs = int(row["n"])
+    if n_docs == 0:
+        raise ValueError(
+            "build_packed: the corpus is empty — nothing to index. "
+            "(An empty store would also break merge_packed downstream.)"
+        )
+    if int(row["mn"]) < 0:
+        raise ValueError(
+            f"build_packed requires doc_id >= 0 (got {int(row['mn'])})"
+        )
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    id_range = int(row["mx"]) + 1
+    _lap("stats_pass")
+
+    if segment_size == "auto" or num_partitions == "auto":
+        est = _estimate_pack_stats(
+            base, "doc_id", "text", mode, n_docs, stats_sample_fraction, seed
+        ).persist()
+        try:
+            if segment_size == "auto":
+                segment_size = auto_segment_size(est, n_docs, id_range=id_range)
+            if num_partitions == "auto":
+                n_post_est = int(est.agg(F.sum("df")).collect()[0][0] or 0)
+                cores = spark.sparkContext.defaultParallelism
+                num_partitions = pack_shuffle_partitions(n_post_est, cores=cores)
+        finally:
+            est.unpersist()
+    segment_size = int(segment_size)
+    num_partitions = None if num_partitions is None else int(num_partitions)
+    _lap("auto_resolution")
+
+    blocks = _pack_postings(
+        _postings_from_tokens(toks, "doc_id"),
+        segment_size, num_partitions, strategy,
+    )
+    blocks.repartition("segment").write.mode("overwrite").parquet(
+        f"{store_dir}/blocks"
+    )
+    _lap("pack_write")
+    written = spark.read.parquet(f"{store_dir}/blocks")
+    termstats = (
+        written.groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+        .withColumn("idf", idf_expr(variant, n_docs))
+    )
+    termstats.write.mode("overwrite").parquet(f"{store_dir}/termstats")
+    _lap("termstats_write")
+    with open(f"{store_dir}/meta.json", "w") as f:
+        _json.dump(
+            {"n_docs": n_docs, "avgdl": avgdl,
+             "segment_size": segment_size, "variant": variant},
+            f,
+        )
+    return PackedIndex.read(spark, store_dir)
+
+
+def build_packed_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    n_shards: int = 8,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "simple",
+    variant: str = "bm25",
+    segment_size: int | str = "auto",
+    strategy: str = "sorted",
+    stats_sample_fraction: float = 0.02,
+    seed: int = 7,
+    compact: bool = False,
+) -> PackedIndex:
+    """Checkpointed fused build: `build_packed` per segment-aligned doc-id
+    span, manifest lineage, skip-on-restart — the one-job production shape
+    for corpus → queryable store at 10^12-file scale, where neither the
+    postings table NOR a monolithic single job is acceptable (a build that
+    dies at 90% must not re-tokenize everything).
+
+    Same manifest contract as `pack_index_resumable`: a plan line pins
+    (segment_size, n_shards, id_range, span); a resume with different knobs
+    fails loudly; ``segment_size="auto"`` on resume adopts the plan's
+    resolved size. Each shard filters the corpus by doc-id range (parquet
+    range pushdown — a shard scans only its rows), runs the fused build
+    into its own sub-store, and appends a lineage row with posting/block
+    counts from the written store's metadata columns. The returned index is
+    the `merge_packed` union (disjoint by construction — spans are
+    segment-aligned); df/idf/avgdl are recomputed exactly at merge, so the
+    result is query-identical to a monolithic build. ``compact=True``
+    rewrites the union into ``{store_dir}/compacted`` (block-level, no
+    re-encode) and returns that."""
+    import json
+    import os
+    import time
+
+    os.makedirs(store_dir, exist_ok=True)
+    plan, done = _read_pack_manifest(store_dir)
+
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    mx = base.agg(F.max("doc_id")).collect()[0][0]
+    id_range = (int(mx) + 1) if mx is not None else 0
+    if id_range == 0:
+        raise ValueError(
+            "build_packed_resumable: the corpus is empty (no doc ids) — "
+            "nothing to build."
+        )
+    if segment_size == "auto":
+        if plan is not None:
+            seg = int(plan["segment_size"])
+        else:
+            n_docs_total = base.count()
+            est = _estimate_pack_stats(
+                base, "doc_id", "text", mode, n_docs_total,
+                stats_sample_fraction, seed,
+            )
+            seg = auto_segment_size(est, n_docs_total, id_range=id_range)
+    else:
+        seg = int(segment_size)
+    span = max((id_range + n_shards - 1) // n_shards, 1)
+    span = ((span + seg - 1) // seg) * seg
+    this_plan = {"segment_size": seg, "n_shards": n_shards,
+                 "id_range": id_range, "span": span}
+    if plan is not None and plan != this_plan:
+        raise ValueError(
+            "build_packed_resumable: resume with a DIFFERENT shard layout — "
+            f"manifest plan {plan} vs current {this_plan}. Finish the build "
+            "with the original knobs or start a fresh store_dir."
+        )
+    if plan is None:
+        with open(_pack_manifest_path(store_dir), "a") as f:
+            f.write(json.dumps({"plan": this_plan}) + "\n")
+
+    shard_paths = []
+    for i in range(n_shards):
+        lo, hi = i * span, min((i + 1) * span, id_range)
+        if lo >= id_range:
+            break
+        path = os.path.join(store_dir, f"shard={i:04d}")
+        if i in done:
+            if not done[i].get("empty"):
+                shard_paths.append(path)
+            continue
+        shard_docs = base.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        if shard_docs.limit(1).count() == 0:
+            # sparse doc ids: a middle span can hold no docs — record it so
+            # a resume skips the probe, and keep it out of the merge set
+            # (build_packed refuses empty corpora; merge refuses empty
+            # stores — both by r9-ADVICE design)
+            with open(_pack_manifest_path(store_dir), "a") as f:
+                f.write(json.dumps({
+                    "shard": i, "status": "ok", "empty": True,
+                    "doc_lo": lo, "doc_hi": hi, "n_postings": 0,
+                    "n_blocks": 0, "wall_sec": 0.0,
+                }) + "\n")
+            continue
+        shard_paths.append(path)
+        t0 = time.perf_counter()
+        build_packed(
+            shard_docs,
+            path,
+            mode=mode, variant=variant, segment_size=seg,
+            num_partitions="auto", strategy=strategy,
+            stats_sample_fraction=stats_sample_fraction, seed=seed,
+        )
+        stats = spark.read.parquet(f"{path}/blocks").agg(
+            F.sum("n_docs").alias("n_postings"),
+            F.count("*").alias("n_blocks"),
+        ).collect()[0]
+        with open(_pack_manifest_path(store_dir), "a") as f:
+            f.write(json.dumps({
+                "shard": i, "status": "ok", "doc_lo": lo, "doc_hi": hi,
+                "n_postings": int(stats["n_postings"] or 0),
+                "n_blocks": int(stats["n_blocks"]),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+            }) + "\n")
+
+    merged = merge_packed(spark, shard_paths)
+    if compact:
+        out = os.path.join(store_dir, "compacted")
+        merged.write(out)
+        return PackedIndex.read(spark, out)
+    return merged
 
 
 def compact_if(

@@ -785,3 +785,176 @@ def test_pack_index_resumable_auto_adopts_manifest_segment_size(
         for r in wand_search(mono, queries_df, k=5).collect()
     )
     assert a == b
+
+
+# ------------------------- fused build → packed store -----------------------
+
+
+def _store_rows(spark, path):
+    """Canonical comparable forms of a packed store's three artifacts."""
+    import json
+
+    blocks = sorted(
+        (r["term"], r["segment"], r["n_docs"], r["max_tf"], r["min_dl"],
+         bytes(r["doc_blob"]), bytes(r["tf_blob"]), bytes(r["dl_blob"]))
+        for r in spark.read.parquet(f"{path}/blocks").collect()
+    )
+    stats = sorted(
+        (r["term"], r["df"], round(r["idf"], 12))
+        for r in spark.read.parquet(f"{path}/termstats").collect()
+    )
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    return blocks, stats, meta
+
+
+def test_build_packed_identical_to_two_phase(spark, docs_df, queries_df, tmp_path):
+    """The fused corpus→store build produces the SAME store as
+    build_index → pack_index → write: block set byte-for-byte, termstats
+    rows, meta — hence identical WAND results."""
+    from fusion_spark.blocks import build_packed
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    two = str(tmp_path / "twophase")
+    PackedIndex.from_index(idx, segment_size=16, num_partitions=4).write(two)
+    fused_dir = str(tmp_path / "fused")
+    fused = build_packed(
+        docs_df, fused_dir, text_col="content",
+        segment_size=16, num_partitions=4,
+    )
+    blocks_a, stats_a, meta_a = _store_rows(spark, two)
+    blocks_b, stats_b, meta_b = _store_rows(spark, fused_dir)
+    assert blocks_a == blocks_b
+    assert stats_a == stats_b
+    assert meta_a["n_docs"] == meta_b["n_docs"]
+    assert meta_a["avgdl"] == pytest.approx(meta_b["avgdl"], rel=1e-12)
+    assert meta_a["segment_size"] == meta_b["segment_size"] == 16
+    assert meta_a["variant"] == meta_b["variant"]
+    a = _collect(wand_search(PackedIndex.read(spark, two), queries_df, k=10))
+    b = _collect(wand_search(fused, queries_df, k=10))
+    assert a == b
+
+
+def test_build_packed_auto_matches_exact_autos(spark, docs_df, tmp_path):
+    """On a small corpus the sampled stats pass falls back to f=1.0 (exact),
+    so the fused autos must resolve to exactly what _resolve_pack_params
+    derives from the materialized index."""
+    from fusion_spark.blocks import _resolve_pack_params, build_packed
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    seg, parts = _resolve_pack_params(idx, "auto", "auto")
+    fused = build_packed(
+        docs_df, str(tmp_path / "autostore"), text_col="content",
+        segment_size="auto", num_partitions="auto",
+    )
+    assert fused.segment_size == seg
+
+
+def test_build_packed_empty_and_negative_ids_raise(spark, tmp_path):
+    from fusion_spark.blocks import build_packed
+
+    empty = spark.createDataFrame([], "doc_id long, content string")
+    with pytest.raises(ValueError, match="empty"):
+        build_packed(empty, str(tmp_path / "e"), text_col="content")
+    neg = spark.createDataFrame(
+        [(-3, "alpha beta"), (1, "alpha")], "doc_id long, content string"
+    )
+    with pytest.raises(ValueError, match="doc_id >= 0"):
+        build_packed(neg, str(tmp_path / "n"), text_col="content")
+
+
+def test_build_packed_counts_tokenless_docs(spark, tmp_path):
+    """Docs with no surviving tokens carry no postings but still count
+    toward n_docs/avgdl — same contract as _finalize's docstats."""
+    from fusion_spark.blocks import build_packed
+
+    rows = [(0, "alpha beta alpha"), (1, ""), (2, "beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    fused = build_packed(
+        docs, str(tmp_path / "tokenless"), text_col="content", segment_size=16
+    )
+    assert fused.n_docs == 3
+    assert fused.avgdl == pytest.approx((3 + 0 + 2) / 3)
+    idx = build_index(docs, doc_id_col="doc_id", text_col="content")
+    assert fused.n_docs == idx.n_docs
+    assert fused.avgdl == pytest.approx(idx.avgdl)
+
+
+def test_build_packed_resumable_identity_skip_and_plan_guard(
+    spark, docs_df, queries_df, tmp_path
+):
+    """Sharded fused build == monolithic fused build (WAND-identical);
+    completed shards are skipped on a re-run (byte-untouched); a resume
+    with a different layout fails loudly."""
+    import os
+
+    from fusion_spark.blocks import build_packed, build_packed_resumable
+
+    store = str(tmp_path / "fusedshards")
+    merged = build_packed_resumable(
+        spark, docs_df, store, n_shards=3, text_col="content", segment_size=16
+    )
+    mono = build_packed(
+        docs_df, str(tmp_path / "fusedmono"), text_col="content",
+        segment_size=16,
+    )
+    a = _collect(wand_search(merged, queries_df, k=10))
+    b = _collect(wand_search(mono, queries_df, k=10))
+    assert a == b
+    assert merged.n_docs == mono.n_docs
+    assert merged.avgdl == pytest.approx(mono.avgdl)
+
+    # skip-on-restart: no shard store file is rewritten
+    mtimes = {}
+    for root, _dirs, files in os.walk(store):
+        for fn in files:
+            p = os.path.join(root, fn)
+            mtimes[p] = os.path.getmtime(p)
+    build_packed_resumable(
+        spark, docs_df, store, n_shards=3, text_col="content", segment_size=16
+    )
+    for p, t in mtimes.items():
+        if "_manifest" in p:
+            continue
+        assert os.path.getmtime(p) == t, f"shard file rewritten: {p}"
+
+    with pytest.raises(ValueError, match="DIFFERENT shard layout"):
+        build_packed_resumable(
+            spark, docs_df, store, n_shards=5, text_col="content",
+            segment_size=16,
+        )
+
+
+def test_build_packed_resumable_sparse_ids_skip_empty_shards(
+    spark, tmp_path
+):
+    """With sparse doc ids a middle span can be docless: it is recorded in
+    the manifest (resume skips the probe) and excluded from the merge."""
+    from fusion_spark.blocks import (
+        _read_pack_manifest,
+        build_packed,
+        build_packed_resumable,
+        wand_search,
+    )
+
+    rows = [(i, f"alpha t{i} beta") for i in range(8)]
+    rows += [(1000 + i, f"gamma t{i} delta") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    store = str(tmp_path / "sparseshards")
+    merged = build_packed_resumable(
+        spark, docs, store, n_shards=8, text_col="content", segment_size=16
+    )
+    _plan, done = _read_pack_manifest(store)
+    empties = [r for r in done.values() if r.get("empty")]
+    assert empties, "expected at least one docless span"
+    mono = build_packed(
+        docs, str(tmp_path / "sparsemono"), text_col="content",
+        segment_size=16,
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha gamma"), (1, "t3 beta")], "qid long, question string"
+    )
+    a = _collect(wand_search(merged, queries, k=10))
+    b = _collect(wand_search(mono, queries, k=10))
+    assert a == b
+    assert merged.n_docs == mono.n_docs == 16
