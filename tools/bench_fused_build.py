@@ -77,12 +77,14 @@ def worker_twophase(docs_dir: str, out: str) -> None:
     spark.stop()
 
 
-def worker_fused(docs_dir: str, out: str) -> None:
+def worker_fused(docs_dir: str, out: str, cores: int = 32) -> None:
+    from pyspark.sql import functions as F
+
     from fusion_spark.blocks import build_packed
     from fusion_spark.session import get_spark
 
-    spark = get_spark(app_name="fused-ab-fused", cores=32,
-                      shuffle_partitions=256)
+    spark = get_spark(app_name=f"fused-ab-fused-{cores}", cores=cores,
+                      shuffle_partitions=max(cores * 8, 64))
     docs = spark.read.parquet(docs_dir)
     T: dict = {}
     t0 = time.perf_counter()
@@ -90,9 +92,12 @@ def worker_fused(docs_dir: str, out: str) -> None:
                           segment_size="auto", num_partitions="auto",
                           timings=T)
     total = round(time.perf_counter() - t0, 1)
+    n_post = int(
+        packed.blocks.agg(F.sum("n_docs")).collect()[0][0] or 0
+    )
     print(json.dumps({
-        "leg": "fused", "phases": T, "total_sec": total,
-        "segment_size": packed.segment_size,
+        "leg": "fused", "cores": cores, "phases": T, "total_sec": total,
+        "segment_size": packed.segment_size, "n_postings": n_post,
     }))
     spark.stop()
 
@@ -167,7 +172,8 @@ def main() -> None:
         worker_twophase(sys.argv[2], sys.argv[3])
         return
     if "--worker-fused" in sys.argv:
-        worker_fused(sys.argv[2], sys.argv[3])
+        cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        worker_fused(sys.argv[2], sys.argv[3], cores)
         return
     if "--compare" in sys.argv:
         compare(sys.argv[2], sys.argv[3])
@@ -181,22 +187,29 @@ def main() -> None:
 
     from fusion_spark.session import get_spark
 
-    docs_dir = tempfile.mkdtemp(prefix="fusedab_docs_")
-    spark = get_spark(app_name="fused-ab-gen", cores=32,
-                      shuffle_partitions=64)
-    tok = (
-        f"concat('t', cast(floor({vocab} * pow("
-        "pmod(xxhash64(concat(cast(id as string), ':', cast(i as string))), 100000)"
-        " / 100000.0, 3.0)) as long))"
-    )
-    (
-        spark.range(0, n_docs, numPartitions=256)
-        .withColumn("text", F.expr(
-            f"concat_ws(' ', transform(sequence(1, {dl}), i -> {tok}))"))
-        .select(F.col("id").alias("doc_id"), "text")
-        .write.mode("overwrite").parquet(docs_dir)
-    )
-    spark.stop()
+    # SPARK_GRAFT_FUSEDAB_DOCS: reuse a previously generated corpus (same
+    # n_docs/vocab/dl — the generator is deterministic, so a leftover dir
+    # from an interrupted run is byte-equivalent); kept on exit.
+    reuse = os.environ.get("SPARK_GRAFT_FUSEDAB_DOCS", "")
+    if reuse and os.path.exists(os.path.join(reuse, "_SUCCESS")):
+        docs_dir = reuse
+    else:
+        docs_dir = tempfile.mkdtemp(prefix="fusedab_docs_")
+        spark = get_spark(app_name="fused-ab-gen", cores=32,
+                          shuffle_partitions=64)
+        tok = (
+            f"concat('t', cast(floor({vocab} * pow("
+            "pmod(xxhash64(concat(cast(id as string), ':', cast(i as string))), 100000)"
+            " / 100000.0, 3.0)) as long))"
+        )
+        (
+            spark.range(0, n_docs, numPartitions=256)
+            .withColumn("text", F.expr(
+                f"concat_ws(' ', transform(sequence(1, {dl}), i -> {tok}))"))
+            .select(F.col("id").alias("doc_id"), "text")
+            .write.mode("overwrite").parquet(docs_dir)
+        )
+        spark.stop()
 
     report: dict = {"n_docs": n_docs, "vocab": vocab, "dl": dl, "cores": 32,
                     "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY",
@@ -220,10 +233,31 @@ def main() -> None:
         report["store_identical"] = cmp_rec["identical"]
         report["n_blocks"] = cmp_rec["a"]["n_blocks"]
         report["n_terms"] = cmp_rec["a"]["n_terms"]
+
+        if "--scaling" in sys.argv:
+            # the north-rule pair on the FUSED flagship build path: same
+            # input, two parallelism levels, back-to-back in one window
+            lo, hi = (int(x) for x in os.environ.get(
+                "SPARK_GRAFT_SCALE_CORES", "8,32").split(","))
+            for cores, tag in ((lo, "low"), (hi, "high")):
+                out = tempfile.mkdtemp(prefix=f"fusedab_s{cores}_")
+                try:
+                    rec = _run(["--worker-fused", docs_dir, out, str(cores)])
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
+                report[f"fused_sec_{tag}"] = rec["total_sec"]
+                report[f"fused_docs_per_sec_{tag}"] = round(
+                    n_docs / rec["total_sec"], 0)
+                print(f"[scaling] fused cores={cores}: {rec['total_sec']} s",
+                      file=sys.stderr, flush=True)
+            report["fused_scaling_efficiency"] = round(
+                (report["fused_docs_per_sec_high"]
+                 / report["fused_docs_per_sec_low"]) / (hi / lo), 3)
     finally:
         for p in stores.values():
             shutil.rmtree(p, ignore_errors=True)
-        shutil.rmtree(docs_dir, ignore_errors=True)
+        if docs_dir != reuse:
+            shutil.rmtree(docs_dir, ignore_errors=True)
     print(json.dumps(report))
 
 
