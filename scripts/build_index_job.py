@@ -4,6 +4,7 @@ Usage (north rule launch mechanism):
     scripts/submit.sh scripts/build_index_job.py \
         --input /path/documents.parquet --index-dir /path/index \
         --buckets 32 [--pack] [--text-col text] [--mode simple]
+        [--fused [--fused-shards 8]]   # fused corpus→packed-store build
 
 On a real cluster, pass --master/--num-executors etc. to spark-submit; the
 job itself is layout-agnostic. Re-running after a failure resumes from the
@@ -28,15 +29,37 @@ def main():
     ap.add_argument("--variant", default="bm25", choices=["bm25", "tfidf", "atire"])
     ap.add_argument("--pack", action="store_true", help="also build the packed v2 block store")
     ap.add_argument("--segment-size", type=int, default=1 << 20)
+    ap.add_argument("--fused", action="store_true",
+                    help="checkpointed fused build straight to the packed "
+                         "store (no postings table; resumable per doc-id "
+                         "shard) — the at-scale default, BENCH.md r10")
+    ap.add_argument("--fused-shards", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from fusion_spark.blocks import PackedIndex
+    from fusion_spark.blocks import PackedIndex, build_packed_resumable
     from fusion_spark.indexing import build_index_resumable, lineage
 
     spark = SparkSession.builder.appName("fusion-spark-index-build").getOrCreate()
     docs = spark.read.parquet(args.input)
+    if args.fused:
+        t0 = time.perf_counter()
+        packed = build_packed_resumable(
+            spark, docs, args.index_dir, n_shards=args.fused_shards,
+            doc_id_col=args.doc_id_col, text_col=args.text_col,
+            mode=args.mode, variant=args.variant, segment_size="auto",
+        )
+        build_sec = time.perf_counter() - t0
+        print(json.dumps({
+            "n_docs": packed.n_docs, "avgdl": packed.avgdl,
+            "segment_size": packed.segment_size,
+            "build_sec": round(build_sec, 2),
+            "docs_per_sec": round(packed.n_docs / build_sec, 1)
+            if build_sec > 0 else None,
+        }))
+        spark.stop()
+        return
     t0 = time.perf_counter()
     idx = build_index_resumable(
         spark, docs, args.index_dir, n_buckets=args.buckets,
