@@ -106,14 +106,23 @@ def minhash_signatures(
     Uses multiset shingles (min is duplicate-invariant) — one exchange
     fewer than the set-semantics path."""
     sh = shingles(docs, text_col, doc_id_col, n, distinct=False)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h", F.md5(F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    # One row per shingle carrying num_hashes md5 COLUMNS instead of a
+    # num_hashes-way explode: the per-(doc, seed) min becomes num_hashes
+    # parallel min aggregates over 1/num_hashes as many rows (identical
+    # hash strings, identical mins — only the plan shape changes). The
+    # explode multiplied every shingle row 8× through the aggregate
+    # machinery; here the multiplicity lives in columns, which partial
+    # aggregation reduces per doc before the (now much smaller) shuffle.
+    hcols = [
+        F.min(F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
+    mins = sh.groupBy("doc_id").agg(*hcols)
+    return mins.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
 
 
@@ -164,18 +173,24 @@ def banded_candidate_pairs(
     for kc in key_cols:
         cond = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & cond
     if max_bucket_size is None:
+        banded = banded.localCheckpoint(eager=False)
         pairs = banded.alias("a").join(banded.alias("b"), cond).select(*out_sel)
         return pairs.distinct() if distinct else pairs
-    # bucket size/representative via WINDOW functions (not agg + re-join):
-    # every branch below (small-a, small-b, star) then shares the IDENTICAL
-    # Exchange(hash(key_cols)) + Window subtree, so Spark's ReuseExchange
-    # computes the (possibly expensive) upstream banding lineage ONCE, and
-    # the small×small self-join reuses the same partitioning — the guarded
-    # plan costs the same shuffle as the unguarded one
+    # bucket size/representative via WINDOW functions (not agg + re-join),
+    # then the tagged frame is materialized ONCE with a lazy localCheckpoint
+    # before fanning out to the three consumers (small-a, small-b, star).
+    # ReuseExchange was supposed to share the upstream subtree across the
+    # branches, but AQE does not reliably reuse it (event-log-measured r11:
+    # the full banding lineage — tokenize, shingle, hash, minhash — ran 2-3×
+    # per action, concurrently, the dominant cost of the whole dedup path).
+    # The checkpoint pins the banded table (a few dozen bytes per doc·band —
+    # metadata-sized at any corpus scale, the standard LSH materialization
+    # point) so the expensive lineage runs exactly once and the join/star
+    # branches read the persisted blocks.
     w = Window.partitionBy(*key_cols)
     tagged = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w)).withColumn(
         "_rep", F.min(id_col).over(w)
-    )
+    ).localCheckpoint(eager=False)
     small = tagged.filter(F.col("_bucket_n") <= max_bucket_size).select(*banded.columns)
     big = tagged.filter(F.col("_bucket_n") > max_bucket_size)
     if oversize_policy == "error":
@@ -223,10 +238,32 @@ def lsh_candidate_pairs(
     docs sharing any band value → candidate pairs (doc_a < doc_b). Buckets
     over `max_bucket_size` are star-paired through their min-doc_id
     representative (see banded_candidate_pairs)."""
+    # band_key via per-slot min(when(...)) instead of sort_array(collect_list):
+    # value-identical (each (doc, band, slot) has exactly ONE row, so the min
+    # IS that row; array_sort of the slots == sort_array of the collected
+    # list), but DETERMINISTIC — collect_list is flagged nondeterministic, so
+    # the three identical Exchange subtrees downstream (join side a, side b,
+    # star branch) never canonicalized equal and ReuseExchange could not fire:
+    # the whole shingle→md5→minhash→banding upstream ran THREE times per
+    # action (event-log-verified r11). Deterministic aggregates restore the
+    # single shared shuffle.
+    slots = [
+        F.min(
+            F.when(F.pmod(F.col("seed"), F.lit(band_size)) == j, F.col("minhash"))
+        ).alias(f"_s{j}")
+        for j in range(band_size)
+    ]
     banded = (
         signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+        .agg(*slots)
+        .withColumn(
+            "band_key",
+            F.concat_ws(
+                "|", F.array_sort(F.array(*[F.col(f"_s{j}") for j in range(band_size)]))
+            ),
+        )
+        .select("doc_id", "band", "band_key")
     )
     return banded_candidate_pairs(
         banded, ["band", "band_key"], "doc_id", max_bucket_size

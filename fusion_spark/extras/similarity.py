@@ -101,10 +101,34 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the (small) query set
     against the corpus, one pass, per-query top-k via WindowGroupLimit.
-    Output: (qid, vec_id, cosine, rank)."""
-    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")))
-    joined = q.crossJoin(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")))
-    return _cosine_topk_ranked(joined, k)
+    Output: (qid, vec_id, cosine, rank).
+
+    Norms are computed ONCE per vector in projections BELOW the cross join
+    (each pair row previously re-folded both norms — |Q|× redundant work on
+    the corpus side); the per-pair expression is the identical
+    dot / (qnorm * vnorm) double arithmetic, so cosines are bit-identical.
+    A small corpus scan arriving in fewer partitions than the session's
+    parallelism (a single parquet file reads as ONE partition — the whole
+    scoring pass then runs serially) is spread with a round-robin
+    repartition; at real scale the scan has ≥ parallelism splits and the
+    branch never fires."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < max(par // 2, 2):
+        e = e.repartition(par)
+    e = e.withColumn("_vn", _norm(F.col("vec")))
+    q = F.broadcast(
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+        .withColumn("_qn", _norm(F.col("qvec")))
+    )
+    joined = q.crossJoin(e)
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        (_dot(F.col("qvec"), F.col("vec")) / (F.col("_qn") * F.col("_vn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def auto_n_centroids(

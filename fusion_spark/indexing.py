@@ -109,13 +109,56 @@ def build_index(
     variant: str = "bm25",
 ) -> BM25Index:
     """One-shot in-memory index build (for tests / small corpora; the
-    resumable path below is the production build)."""
+    resumable path below is the production build).
+
+    One tokenize pass instead of two: the previous shape collected
+    (N, avgdl) from docstats — a full tokenize of the corpus — and then the
+    first consumer of the persisted postings paid ANOTHER full tokenize to
+    materialize them. Both scalars are derivable without touching tokens:
+
+      * N and the avg denominator come from the raw docs frame (count +
+        non-null text count — column-pruned, the tokenize expression is
+        never evaluated);
+      * sum(dl) == sum(tf) exactly (every token instance contributes 1 to
+        its doc's dl and 1 to exactly one posting's tf — integer sums, no
+        rounding), so avgdl rides the one postings materialization pass.
+
+    avg("dl") ignored NULL dl rows; dl is NULL iff text is NULL in `simple`
+    mode (split(NULL) → NULL) and never NULL in the other modes (the UDFs
+    fillna(""), code_jvm coalesces), so the denominator replicates that.
+    float(sum)/denom is the identical IEEE op Spark's Average performs
+    (long sum → double divide) — avgdl is bit-identical to the old path."""
     toks = tokenize(docs.select(doc_id_col, text_col), text_col=text_col, mode=mode).withColumn(
         "dl", F.size("tokens")
     )
-    postings = _postings_from_tokens(toks, doc_id_col)
+    postings = _postings_from_tokens(toks, doc_id_col).persist()
     docstats = toks.select(F.col(doc_id_col).alias("doc_id"), "dl")
-    return _finalize(postings, docstats, variant)
+    # Both scalar rows in ONE action (per-job fixed overhead is ~0.13 s on
+    # this host and dominates small-SF builds — guide §1.1): the union's two
+    # aggregate subtrees run inside one collect, and the postings subtree
+    # fills the cache as a side effect, so the caller's first postings
+    # action is a cache hit.
+    doc_row = docs.agg(
+        F.lit("d").alias("side"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.col(text_col)).cast("long").alias("nn"),
+    )
+    post_row = postings.agg(
+        F.lit("p").alias("side"),
+        F.sum("tf").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("nn"),
+    )
+    rows = {r["side"]: r for r in doc_row.unionByName(post_row).collect()}
+    n_docs = int(rows["d"]["n"])
+    denom = int(rows["d"]["nn"]) if mode == "simple" else n_docs
+    total = rows["p"]["n"]
+    avgdl = float(total) / denom if (denom and total is not None) else 0.0
+    termstats = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("idf", idf_expr(variant, n_docs))
+    )
+    return BM25Index(postings, termstats, docstats, n_docs, avgdl, variant)
 
 
 def _finalize(postings: DataFrame, docstats: DataFrame, variant: str) -> BM25Index:

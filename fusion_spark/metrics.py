@@ -34,8 +34,18 @@ def explode_qrels(qrels: DataFrame) -> DataFrame:
 
 
 def _per_query(preds: DataFrame, qrels: DataFrame):
-    gt = explode_qrels(qrels)
-    gt_size = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt"))
+    # gt is consumed by the hits join AND (via gt_size) by the metric
+    # aggregate and the idcg join; without pinning, the whole qrels lineage
+    # re-executes once PER consumer (event-log measured r11: three
+    # concurrent copies of the ground-truth derivation dominated the
+    # metrics wall). gt is one row per (query, relevant doc) and gt_size
+    # one row per query — metadata-sized at any corpus scale — so lazy
+    # localCheckpoints pin them at negligible cost; hits has a single
+    # consumer chain and needs none.
+    gt = explode_qrels(qrels).localCheckpoint(eager=False)
+    gt_size = gt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_gt")).localCheckpoint(
+        eager=False
+    )
     hits = preds.join(gt, ["qid", "doc_id"]).select("qid", "rank")
     n_res = preds.groupBy("qid").agg(F.count(F.lit(1)).alias("n_res"))
     return gt_size, hits, n_res
