@@ -55,6 +55,66 @@ def _infer_dim(e: DataFrame, what: str) -> int:
     return len(row[0])
 
 
+def _cosine_scored_vectorized(corpus: DataFrame, probe_rows: list, qid_type) -> DataFrame:
+    """Vectorized per-partition cosine scorer for store-backed probes: the
+    (already collected, bounded) probe rows ship by closure; each corpus
+    batch is scored against its centroid's queries with NumPy instead of the
+    per-pair interpreted JVM fold. Output: (qid, vec_id, cosine) — compose
+    with the usual (cosine DESC, vec_id ASC) window for top-k.
+
+    BIT-IDENTICAL to `_dot`/`_norm`'s left fold, not merely close: the
+    per-element products are the same IEEE float64 multiplies (int8→double
+    and float→double widenings are exact), and `np.cumsum` accumulates
+    strictly left-to-right in float64 — the same rounding sequence as the
+    fold. The one divergence window is the sign of an all-zero dot (the
+    fold's 0.0 seed turns a leading -0.0 product into +0.0; cumsum keeps
+    it), which the trailing `+ 0.0` canonicalizes the same way. Verified
+    by the q8-vs-fold bit-equality test."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    by_centroid: dict = {}
+    for r in probe_rows:
+        by_centroid.setdefault(r["centroid"], []).append(
+            (r["qid"], np.asarray(r["qvec"], dtype=np.float64))
+        )
+    out_schema = StructType(
+        [
+            StructField("qid", qid_type),
+            StructField("vec_id", corpus.schema["vec_id"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_qid, out_vid, out_cos = [], [], []
+            for cid, grp in pdf.groupby("centroid", sort=False):
+                queries = by_centroid.get(cid)
+                if not queries:
+                    continue
+                V = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+                vid = grp["vec_id"].to_numpy()
+                vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                for qid, q in queries:
+                    dots = np.cumsum(q[None, :] * V, axis=1)[:, -1] + 0.0
+                    qn = np.sqrt(np.cumsum(q * q)[-1])
+                    out_qid.append(np.full(len(vid), qid))
+                    out_vid.append(vid)
+                    out_cos.append(dots / (qn * vn))
+            if out_qid:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_qid),
+                        "vec_id": np.concatenate(out_vid),
+                        "cosine": np.concatenate(out_cos),
+                    }
+                )
+
+    return corpus.mapInPandas(score, out_schema)
+
+
 def _cosine_topk_ranked(joined: DataFrame, k: int) -> DataFrame:
     """Shared tail for every ANN path: exact cosine over (qid, qvec, vec_id,
     vec) candidate rows, (cosine DESC, vec_id ASC) top-k via
@@ -1130,12 +1190,19 @@ def ivf_cosine_topk_store(
     if not use_quantized:
         return _cosine_topk_ranked(F.broadcast(probes_lit).join(corpus, "centroid"), k)
 
-    # stage 1: rank on the int8 codes only — select BEFORE the join so the
-    # scan's ReadSchema never includes the float column
+    # stage 1: rank on the int8 codes only — select BEFORE the map so the
+    # scan's ReadSchema never includes the float column. The code-space
+    # ranking is the CPU-bound half of the quantized trade (r10 measured
+    # q8 reading 0.25× the bytes of fp yet costing 1.22× the wall): scoring
+    # now runs through the vectorized NumPy kernel (one fused
+    # multiply/cumsum per corpus batch) instead of the per-pair interpreted
+    # JVM fold, with bit-identical cosines (see _cosine_scored_vectorized).
     q8 = corpus.select("vec_id", "centroid", F.col("vec_q8").alias("vec"))
-    approx = _cosine_topk_ranked(
-        F.broadcast(probes_lit).join(q8, "centroid"),
-        k if rerank_k is None else int(rerank_k),
+    scored_q8 = _cosine_scored_vectorized(q8, prows, probes_lit.schema["qid"].dataType)
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    kk = k if rerank_k is None else int(rerank_k)
+    approx = scored_q8.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= kk
     )
     if rerank_k is None:
         return approx

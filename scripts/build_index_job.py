@@ -28,7 +28,10 @@ def main():
     ap.add_argument("--mode", default="simple", choices=["simple", "reference", "code"])
     ap.add_argument("--variant", default="bm25", choices=["bm25", "tfidf", "atire"])
     ap.add_argument("--pack", action="store_true", help="also build the packed v2 block store")
-    ap.add_argument("--segment-size", type=int, default=1 << 20)
+    # None = "not passed": --fused resolves it to "auto", --pack to 1<<20 —
+    # an explicit value is honored on BOTH paths (r10 ADVICE: --fused used
+    # to hardcode "auto" and silently ignore a user-supplied size)
+    ap.add_argument("--segment-size", type=int, default=None)
     ap.add_argument("--fused", action="store_true",
                     help="checkpointed fused build straight to the packed "
                          "store (no postings table; resumable per doc-id "
@@ -44,11 +47,18 @@ def main():
     spark = SparkSession.builder.appName("fusion-spark-index-build").getOrCreate()
     docs = spark.read.parquet(args.input)
     if args.fused:
+        if args.pack or args.buckets != 32:
+            import sys as _sys
+
+            print("build_index_job: --pack/--buckets do not apply to the "
+                  "fused path (it always writes the packed store; sharding "
+                  "is --fused-shards)", file=_sys.stderr)
         t0 = time.perf_counter()
         packed = build_packed_resumable(
             spark, docs, args.index_dir, n_shards=args.fused_shards,
             doc_id_col=args.doc_id_col, text_col=args.text_col,
-            mode=args.mode, variant=args.variant, segment_size="auto",
+            mode=args.mode, variant=args.variant,
+            segment_size=args.segment_size if args.segment_size is not None else "auto",
         )
         build_sec = time.perf_counter() - t0
         print(json.dumps({
@@ -68,7 +78,10 @@ def main():
     )
     build_sec = time.perf_counter() - t0
     if args.pack:
-        packed = PackedIndex.from_index(idx, segment_size=args.segment_size)
+        packed = PackedIndex.from_index(
+            idx,
+            segment_size=args.segment_size if args.segment_size is not None else 1 << 20,
+        )
         packed.write(args.index_dir + "/packed")
     lineage(spark, args.index_dir).show(truncate=False)
     print(json.dumps({

@@ -716,6 +716,64 @@ def test_compact_if_thresholds_and_idempotence(spark, docs_df, queries_df, tmp_p
         compact_if(spark, str(tmp_path / "nothing"), threshold_files=1)
 
 
+def test_compact_if_concurrent_wave_between_decision_and_stamp(
+    spark, docs_df, queries_df, tmp_path, monkeypatch
+):
+    """r10 verdict #6: an ingest wave landing BETWEEN compact_if's decision
+    and its signature stamp must never be masked — the marker records the
+    signature captured at decision time, so the next quiesce sees a
+    mismatch and recompacts instead of serving the stale compaction. The
+    stamp itself is temp+rename (no torn marker on crash)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fusion_spark import blocks as B
+
+    idx = build_index(docs_df, doc_id_col="doc_id", text_col="content")
+    store = str(tmp_path / "cstore")
+    B.pack_index_resumable(spark, idx, store, n_shards=2, segment_size=16)
+
+    # the "concurrent" wave: a disjoint higher-id shard prepared up front
+    late_docs = docs_df.select(
+        (F.col("doc_id") + 64).alias("doc_id"), F.col("content")
+    )
+    late_idx = build_index(late_docs, doc_id_col="doc_id", text_col="content")
+    late_path = str(tmp_path / "late_shard")
+    B.PackedIndex.from_index(late_idx, segment_size=16).write(late_path)
+
+    real_merge = B.merge_packed
+    injected = {"done": False}
+
+    def racy_merge(spark_, paths, **kw):
+        out = real_merge(spark_, paths, **kw)
+        if not injected["done"]:
+            # the wave lands after the merge read but before the stamp
+            shutil.copytree(late_path, os.path.join(store, "shard=9990"))
+            injected["done"] = True
+        return out
+
+    monkeypatch.setattr(B, "merge_packed", racy_merge)
+    p, decision = B.compact_if(spark, store, threshold_files=0)
+    assert decision == "compacted"
+    assert injected["done"]
+    # atomic stamp: the temp file never survives
+    assert not glob.glob(os.path.join(store, "compacted", "_source.json.tmp"))
+
+    # next quiesce: the marker holds the PRE-WAVE signature → recompacted,
+    # and the served store now includes the late wave's docs
+    monkeypatch.setattr(B, "merge_packed", real_merge)
+    p2, decision2 = B.compact_if(spark, store, threshold_files=0)
+    assert decision2 == "compacted"
+    served_docs = {
+        r["doc_id"]
+        for r in wand_search(p2, queries_df, k=10, k1=2.5, b=0.2).collect()
+    }
+    assert any(d >= 64 for d in served_docs) or p2.n_docs == idx.n_docs + late_idx.n_docs
+
+
 def test_pack_index_resumable_empty_index_raises(spark, tmp_path):
     """r9 ADVICE: an empty index (no docstats → id_range 0) must fail with
     the actual cause BEFORE writing a plan line, not crash later inside

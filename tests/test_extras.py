@@ -1387,6 +1387,63 @@ def test_ivf_quantized_store_and_rerank(spark, tmp_path):
             spark, path, qv, k=5, use_quantized=True, rerank_k=2)
 
 
+def test_ivf_q8_vectorized_kernel_bit_identical(spark, tmp_path):
+    """r11: the quantized stage-1 ranking moved from the per-pair JVM fold
+    to the vectorized NumPy kernel (_cosine_scored_vectorized). The kernel's
+    contract is BIT-identity, not approximation: np.cumsum accumulates the
+    same float64 products in the same left-to-right order as the
+    zip_with/aggregate fold. Pin it by recomputing every probed pair's
+    cosine with the fold expression and comparing raw doubles bytewise —
+    including a zero vector and sign-mixed values (the ±0.0 edge the
+    kernel's trailing +0.0 canonicalizes)."""
+    import json as _json
+    import struct
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) * ((-1) ** (i + j)) for j in range(16)])
+        for i in range(120)
+    ]
+    # disjoint-support rows vs the disjoint-support query 136 (136 % 17 == 0):
+    # every elementwise product is ±0.0, so the dot is an all-zero fold —
+    # the exact edge where cumsum alone would keep a -0.0 the fold's seed
+    # canonicalizes (a zero VECTOR is not usable here: ANSI division by a
+    # zero norm throws on the fold path too)
+    rows += [
+        (120 + i, [0.0] * 8 + [math.sin(i + j) + 2.0 for j in range(8)])
+        for i in range(6)
+    ]
+    rows.append((136, [-1.5 - j for j in range(8)] + [0.0] * 8))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = embs.filter("vec_id % 17 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    path = str(tmp_path / "ivf_q8_bits")
+    similarity.write_ivf_store(embs, path, n_centroids=4, lloyd_iters=1,
+                               quantize=True)
+    # k >= corpus size: the returned frame carries EVERY probed pair's cosine
+    got = similarity.ivf_cosine_topk_store(
+        spark, path, qv, k=200, n_probe=2, use_quantized=True)
+    got_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in got.collect()}
+    assert got_rows
+
+    # fold reference: same probe rule, same codes, scored by the pre-r11
+    # broadcast-join + zip_with/aggregate expression
+    cents = _json.load(open(f"{path}/meta.json"))["centroids"]
+    probe_udf = similarity._probe_ids_udf(cents, 2)
+    probes = qv.select(
+        "qid", "qvec", F.explode(probe_udf(F.col("qvec"))).alias("centroid"))
+    q8 = spark.read.parquet(f"{path}/vectors").select(
+        "vec_id", "centroid", F.col("vec_q8").alias("vec"))
+    ref = F.broadcast(probes).join(q8, "centroid").select(
+        "qid", "vec_id",
+        (similarity._dot(F.col("qvec"), F.col("vec"))
+         / (similarity._norm(F.col("qvec")) * similarity._norm(F.col("vec")))
+         ).alias("cosine"))
+    ref_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in ref.collect()}
+    assert set(got_rows) == set(ref_rows)
+    for key, cos in got_rows.items():
+        assert struct.pack("d", cos) == struct.pack("d", ref_rows[key]), key
+
+
 def test_ivf_rerank_chunks_candidate_in_filter(spark, tmp_path):
     """r10 SOE regression: the rerank exact re-read must never hand parquet
     one In() with the whole candidate list — Spark pushes In as a LEFT-DEEP

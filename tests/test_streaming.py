@@ -35,6 +35,73 @@ def test_incremental_equals_batch(spark, docs_df, queries_df, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_incremental_packed_compact_on_quiesce(spark, docs_df, queries_df, tmp_path):
+    """r10 verdict #4 wiring: the packed ingest loop calls `compact_if` as
+    its quiesce epilogue. Waves past the file threshold trigger exactly ONE
+    compaction (repeat quiesce with unchanged shards serves the stamped
+    store), a later wave invalidates the `_source.json` signature and
+    recompacts, and WAND results stay identical to the exact batch scorer
+    over the accumulated corpus at every step."""
+    from fusion_spark.blocks import compact_if, wand_search
+    from fusion_spark.streaming import incremental_packed_stream
+
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    docs = docs_df.select("doc_id", docs_df["content"].alias("text"))
+
+    # waves are doc_id RANGES aligned to the segment grid (segment_size=16):
+    # streaming ingest appends monotonically growing ids, and merge_packed's
+    # disjointness check (and therefore compact_if) validates shard spans at
+    # SEGMENT granularity — the ingest contract is segment-aligned batch
+    # boundaries; interleaved-but-disjoint layouts go through
+    # merge_packed(check_disjoint=False) from a caller-owned quiesce instead
+    bounds = [32, 48, 64]
+    def wand_vs_exact(packed, upto_wave):
+        seen = docs.filter(f"doc_id < {bounds[upto_wave]}")
+        idx = build_index(seen, doc_id_col="doc_id", text_col="text")
+        exact = search(idx, queries_df, k=10, k1=2.5, b=0.2)
+        wand = wand_search(packed, queries_df, k=10, k1=2.5, b=0.2)
+        ex = {}
+        for r in exact.orderBy("qid", "rank").collect():
+            ex.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        wd = {}
+        for r in wand.orderBy("qid", "rank").collect():
+            wd.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        assert set(wd) == set(ex)
+        for qid in ex:
+            assert [d for d, _ in wd[qid]] == [d for d, _ in ex[qid]], f"qid {qid}"
+            for (_, a), (_, b) in zip(wd[qid], ex[qid]):
+                assert a == pytest.approx(b, abs=1e-9)
+
+    # wave 0: below any sane threshold — the quiesce serves the union
+    docs.filter("doc_id < 32").write.mode("append").parquet(landing)
+    packed, dec = incremental_packed_stream(
+        spark, landing, store, ckpt, segment_size=16, compact_threshold_files=48
+    )
+    assert dec == "union"
+    wand_vs_exact(packed, 0)
+
+    # wave 1 with threshold 1: crosses it — exactly one compaction, and a
+    # repeat quiesce with unchanged shards serves the stamped store
+    docs.filter("doc_id >= 32 AND doc_id < 48").write.mode("append").parquet(landing)
+    packed, dec = incremental_packed_stream(
+        spark, landing, store, ckpt, segment_size=16, compact_threshold_files=1
+    )
+    assert dec == "compacted"
+    packed2, dec2 = compact_if(spark, store, threshold_files=1)
+    assert dec2 == "already-compacted"
+    wand_vs_exact(packed2, 1)
+
+    # wave 2: new shard invalidates the signature — recompacted, not stale
+    docs.filter("doc_id >= 48").write.mode("append").parquet(landing)
+    packed, dec = incremental_packed_stream(
+        spark, landing, store, ckpt, segment_size=16, compact_threshold_files=1
+    )
+    assert dec == "compacted"
+    wand_vs_exact(packed, 2)
+
+
 def test_watermarked_append_matches_complete(spark, tmp_path):
     """The watermark+append file-sink variant emits exactly the complete-mode
     result for every real window once later sentinel batches advance the

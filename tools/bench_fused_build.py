@@ -168,15 +168,21 @@ def _du(path: str) -> int:
 
 
 def main() -> None:
+    # worker args indexed relative to the flag, not absolute positions
+    # (r10 ADVICE: a hand-invoked `bench_fused_build.py DOCS OUT
+    # --worker-fused 16` misparsed docs/out/cores from fixed slots)
     if "--worker-twophase" in sys.argv:
-        worker_twophase(sys.argv[2], sys.argv[3])
+        i = sys.argv.index("--worker-twophase")
+        worker_twophase(sys.argv[i + 1], sys.argv[i + 2])
         return
     if "--worker-fused" in sys.argv:
-        cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-        worker_fused(sys.argv[2], sys.argv[3], cores)
+        i = sys.argv.index("--worker-fused")
+        cores = int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 32
+        worker_fused(sys.argv[i + 1], sys.argv[i + 2], cores)
         return
     if "--compare" in sys.argv:
-        compare(sys.argv[2], sys.argv[3])
+        i = sys.argv.index("--compare")
+        compare(sys.argv[i + 1], sys.argv[i + 2])
         return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_docs = int(args[0]) if len(args) > 0 else 1_440_000
@@ -191,7 +197,19 @@ def main() -> None:
     # n_docs/vocab/dl — the generator is deterministic, so a leftover dir
     # from an interrupted run is byte-equivalent); kept on exit.
     reuse = os.environ.get("SPARK_GRAFT_FUSEDAB_DOCS", "")
+    params = {"n_docs": n_docs, "vocab": vocab, "dl": dl}
+    sidecar_ok = False
+    if reuse and os.path.exists(os.path.join(reuse, "_params.json")):
+        with open(os.path.join(reuse, "_params.json")) as f:
+            sidecar_ok = json.load(f) == params
     if reuse and os.path.exists(os.path.join(reuse, "_SUCCESS")):
+        # r10 ADVICE: refuse a leftover corpus generated with DIFFERENT
+        # params — it would silently skew every reported wall and label
+        if not sidecar_ok:
+            raise SystemExit(
+                f"SPARK_GRAFT_FUSEDAB_DOCS={reuse} has no matching "
+                f"_params.json for {params} — regenerate or unset the env"
+            )
         docs_dir = reuse
     else:
         docs_dir = tempfile.mkdtemp(prefix="fusedab_docs_")
@@ -210,6 +228,8 @@ def main() -> None:
             .write.mode("overwrite").parquet(docs_dir)
         )
         spark.stop()
+        with open(os.path.join(docs_dir, "_params.json"), "w") as f:
+            json.dump(params, f)
 
     report: dict = {"n_docs": n_docs, "vocab": vocab, "dl": dl, "cores": 32,
                     "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY",

@@ -10,6 +10,10 @@ the same postings.
 Corpus sized so 64 segment-aligned shards exist: 2¹⁹ docs with
 segment_size 2¹³ = exactly 64 segments, one per shard.
 
+The compact_if decision measured here is now WIRED into the ingest loop
+itself: `streaming.incremental_packed_stream` packs each micro-batch into
+its own shard and runs compact_if as its quiesce epilogue (r11).
+
 Usage: python tools/bench_merge_fanin.py [n_docs] [vocab] [dl] [n_shards]
 """
 

@@ -51,7 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from fusion_spark import fusion as fz  # noqa: E402
-from fusion_spark.blocks import PackedIndex, wand_search  # noqa: E402
+from fusion_spark.blocks import PackedIndex, build_packed, wand_search  # noqa: E402
 from fusion_spark.indexing import build_index  # noqa: E402
 from fusion_spark.metrics import metrics_per_query  # noqa: E402
 from fusion_spark.session import get_spark  # noqa: E402
@@ -111,14 +111,15 @@ def main():
         )
     docs = spark.read.parquet(f"{out_dir}/docs")
 
-    with phase("build_index"):
-        idx = build_index(docs, doc_id_col="doc_id", text_col="text")
-        idx.termstats.persist().count()
-        idx.docstats.persist().count()
-    with phase("pack_write_store"):
-        packed = PackedIndex.from_index(idx, segment_size="auto",
-                                        num_partitions="auto")
-        packed.write(f"{out_dir}/store")
+    # r10 verdict #1: the gated path now runs the SHIPPING default — the
+    # fused corpus→store build (tokenize → aggregate → pack as one job, no
+    # postings parquet materialized; 1.24-1.52× at 99.75M/1B postings,
+    # store-fingerprint-identical). The two-phase build_index → pack path
+    # survives below as the standing identity CONTROL: the exact v1 scorer
+    # it feeds is what WAND is gated against.
+    with phase("fused_build_store"):
+        build_packed(docs, f"{out_dir}/store",
+                     segment_size="auto", num_partitions="auto")
     store = PackedIndex.read(spark, f"{out_dir}/store")
 
     # 36 queries: 32 rare-term + 4 hot-term, 4 terms each
@@ -139,6 +140,11 @@ def main():
         from fusion_spark.scoring import search as exact_search
 
         with phase("identity_gate_exact"):
+            # two-phase identity control (r10 verdict #1): the exact scorer
+            # runs over a build_index index of the same corpus, so the gate
+            # also cross-checks fused-store scoring against the two-phase
+            # ingest path
+            idx = build_index(docs, doc_id_col="doc_id", text_col="text")
             exact = {
                 (r["qid"], r["rank"]): (r["doc_id"], r["score"])
                 for r in exact_search(idx, queries, k=1000, k1=2.5, b=0.2,
